@@ -1,0 +1,153 @@
+"""Bilinear warping / resampling primitives (NHWC layout).
+
+``grid_sample`` reproduces the exact semantics of ``torch.nn.functional.
+grid_sample(mode='bilinear')`` as exercised by the reference under its pinned
+torch 1.10 (ref:requirements.txt): since torch 1.3 the default is
+``align_corners=False`` and the reference never passes the flag, so the
+published checkpoints were trained with align_corners=False + zero padding
+(ref:modules/dense_motion.py:77, ref:modules/generator.py:57) and reflection
+padding for the equivariance transform (ref:modules/model.py:93).  Both modes
+are implemented and golden-tested against torch in
+tests/test_warp.py.
+
+Everything here is pure XLA (gathers + fused elementwise); a Pallas TPU
+kernel for the hot generator warp lives in eamm_tpu/ops/warp_pallas.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _unnormalize(coord: jnp.ndarray, size: int, align_corners: bool) -> jnp.ndarray:
+    """Map [-1, 1] to pixel coordinates."""
+    if align_corners:
+        return (coord + 1.0) * 0.5 * (size - 1)
+    return ((coord + 1.0) * size - 1.0) * 0.5
+
+
+def _reflect(coord: jnp.ndarray, low: float, high: float) -> jnp.ndarray:
+    """Reflect pixel coordinates into [low/2, high/2] (torch semantics)."""
+    # torch reflect_coordinates works on twice the coordinate range.
+    span = high - low
+    safe_span = jnp.where(span <= 0, 1.0, span)
+    c = jnp.abs(coord * 2.0 - low)
+    extra = jnp.mod(c, safe_span)
+    flips = jnp.floor(c / safe_span)
+    reflected = jnp.where(jnp.mod(flips, 2.0) == 0.0, extra + low, span - extra + low)
+    return jnp.where(span <= 0, jnp.zeros_like(coord), reflected * 0.5)
+
+
+def grid_sample(image: jnp.ndarray, grid: jnp.ndarray, *,
+                padding_mode: str = "zeros",
+                align_corners: bool = False) -> jnp.ndarray:
+    """Bilinear sampling of ``image`` at ``grid`` locations.
+
+    Args:
+      image: [B, H, W, C] input.
+      grid:  [B, Ho, Wo, 2] sample locations, last axis = (x, y) in [-1, 1].
+      padding_mode: 'zeros' | 'border' | 'reflection'.
+      align_corners: coordinate convention (see module docstring).
+
+    Returns [B, Ho, Wo, C].
+    """
+    B, H, W, C = image.shape
+    compute_dtype = grid.dtype
+    x = _unnormalize(grid[..., 0], W, align_corners)
+    y = _unnormalize(grid[..., 1], H, align_corners)
+
+    if padding_mode == "reflection":
+        if align_corners:
+            x = _reflect(x, 0.0, 2.0 * (W - 1))
+            y = _reflect(y, 0.0, 2.0 * (H - 1))
+        else:
+            x = _reflect(x, -1.0, 2.0 * W - 1.0)
+            y = _reflect(y, -1.0, 2.0 * H - 1.0)
+        x = jnp.clip(x, 0, W - 1)
+        y = jnp.clip(y, 0, H - 1)
+    elif padding_mode == "border":
+        x = jnp.clip(x, 0, W - 1)
+        y = jnp.clip(y, 0, H - 1)
+    elif padding_mode != "zeros":
+        raise ValueError(f"unknown padding_mode {padding_mode!r}")
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+
+    wx1 = x - x0
+    wx0 = 1.0 - wx1
+    wy1 = y - y0
+    wy0 = 1.0 - wy1
+
+    def corner_weight(ix, iy, wx, wy):
+        if padding_mode == "zeros":
+            valid = ((ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1))
+            return jnp.where(valid, wx * wy, 0.0)
+        return wx * wy
+
+    def gather(ix, iy):
+        ix_c = jnp.clip(ix, 0, W - 1).astype(jnp.int32)
+        iy_c = jnp.clip(iy, 0, H - 1).astype(jnp.int32)
+        flat_idx = iy_c * W + ix_c                       # [B, Ho, Wo]
+        img_flat = image.reshape(B, H * W, C)
+        return jnp.take_along_axis(
+            img_flat, flat_idx.reshape(B, -1, 1), axis=1
+        ).reshape(flat_idx.shape + (C,))
+
+    out = (gather(x0, y0) * corner_weight(x0, y0, wx0, wy0)[..., None]
+           + gather(x1, y0) * corner_weight(x1, y0, wx1, wy0)[..., None]
+           + gather(x0, y1) * corner_weight(x0, y1, wx0, wy1)[..., None]
+           + gather(x1, y1) * corner_weight(x1, y1, wx1, wy1)[..., None])
+    return out.astype(image.dtype) if image.dtype != compute_dtype else out
+
+
+def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize with half-pixel centers (torch ``F.interpolate(mode=
+    'bilinear', align_corners=False)``, the mode the reference uses at
+    ref:modules/generator.py:55,83).
+
+    Exact for both up- and down-scaling (torch does NOT antialias on
+    downscale, unlike jax.image.resize): output pixel centers are mapped to
+    input half-pixel coordinates and sampled with border clamping, which is
+    precisely torch's formula.
+
+    x: [..., H, W, C] -> [..., Ho, Wo, C].
+    """
+    *lead, H, W, C = x.shape
+    Ho, Wo = out_hw
+    if (Ho, Wo) == (H, W):
+        return x
+    xb = x.reshape((-1, H, W, C))
+    # Output pixel centers in input pixel units, then normalized for
+    # align_corners=False: norm = (2*pix + 1)/size - 1.
+    xs = (jnp.arange(Wo, dtype=x.dtype) + 0.5) * (W / Wo) - 0.5
+    ys = (jnp.arange(Ho, dtype=x.dtype) + 0.5) * (H / Ho) - 0.5
+    gx = (2.0 * xs + 1.0) / W - 1.0
+    gy = (2.0 * ys + 1.0) / H - 1.0
+    grid = jnp.stack(jnp.meshgrid(gx, gy, indexing="xy"), axis=-1)   # [Ho,Wo,2]
+    grid = jnp.broadcast_to(grid[None], (xb.shape[0], Ho, Wo, 2))
+    out = grid_sample(xb, grid, padding_mode="border", align_corners=False)
+    return out.reshape(tuple(lead) + (Ho, Wo, C))
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor x2 upsample = per-pixel 2x2 repeat.
+
+    Matches torch ``F.interpolate(scale_factor=2)`` (default mode='nearest',
+    ref:modules/util.py:896).  x: [..., H, W, C].
+    """
+    x = jnp.repeat(x, 2, axis=-3)
+    return jnp.repeat(x, 2, axis=-2)
+
+
+def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 average pooling, stride 2 (torch ``nn.AvgPool2d((2, 2))``,
+    ref:modules/util.py:913).  x: [..., H, W, C]."""
+    h, w = x.shape[-3], x.shape[-2]
+    lead = x.shape[:-3]
+    xr = x.reshape(lead + (h // 2, 2, w // 2, 2, x.shape[-1]))
+    return jnp.mean(xr, axis=(-4, -2))

@@ -1,0 +1,26 @@
+"""Test configuration.
+
+Tests always run on CPU with a virtual 8-device platform so that mesh /
+sharding tests work without TPU hardware (the reference has no distributed
+tests at all; see SURVEY.md §4).  These env vars must be set before jax
+initializes its backends, hence the top-of-file placement.
+"""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# The container's sitecustomize registers the TPU PJRT plugin and pins
+# jax_platforms before env vars are consulted; override it explicitly.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
