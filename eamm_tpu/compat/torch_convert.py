@@ -1,0 +1,286 @@
+"""Torch ``.pth.tar`` checkpoint -> flax variable-tree conversion.
+
+The reference ships three torch checkpoints (FOMM generator+kp, audio,
+emotion; ref:demo.py:82-95, ref:logger.py:44-50).  This module converts
+their flat ``state_dict`` name/value maps into this framework's
+``{'params': ..., 'batch_stats': ...}`` trees, handling:
+
+- Conv2d  OIHW -> HWIO
+- ConvTranspose2d [I,O,kh,kw] -> spatially flipped HWIO for the equivalent
+  input-dilated convolution (see eamm_tpu.models.blocks.ConvTranspose)
+- Conv1d  [O,I,k] -> [k,I,O]
+- Linear  [O,I] -> [I,O], with channel re-ordering when the input is a
+  flattened NCHW feature map (our layout flattens NHWC)
+- BatchNorm weight/bias/running stats -> scale/bias + batch_stats
+- LSTM packed torch weights -> per-layer w_ih/w_hh/b_ih/b_hh
+
+Tensors are accepted as numpy arrays; ``load_torch_checkpoint`` uses torch
+only to deserialize the file (torch-cpu is available in the image).
+"""
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+
+Tree = dict
+
+
+def load_torch_checkpoint(path: str) -> dict[str, dict[str, np.ndarray]]:
+    """Load a .pth.tar into {module_name: {param_name: np.ndarray}}."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    out = {}
+    for module_name, sd in ckpt.items():
+        if hasattr(sd, "items"):
+            out[module_name] = {
+                k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+                for k, v in sd.items()}
+        else:
+            out[module_name] = sd
+    return out
+
+
+def _strip_prefix(sd: Mapping[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Drop DataParallel 'module.' prefixes (ref:train.py:283-299)."""
+    return {(k[7:] if k.startswith("module.") else k): v for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------- primitives
+
+def conv2d(sd, pfx, bias=True) -> Tree:
+    out = {"kernel": sd[f"{pfx}.weight"].transpose(2, 3, 1, 0)}
+    if bias and f"{pfx}.bias" in sd:
+        out["bias"] = sd[f"{pfx}.bias"]
+    return out
+
+
+def conv1d(sd, pfx) -> Tree:
+    out = {"kernel": sd[f"{pfx}.weight"].transpose(2, 1, 0)}
+    if f"{pfx}.bias" in sd:
+        out["bias"] = sd[f"{pfx}.bias"]
+    return out
+
+
+def conv_transpose2d(sd, pfx) -> Tree:
+    w = sd[f"{pfx}.weight"]                       # [I, O, kh, kw]
+    kernel = np.flip(w, (2, 3)).transpose(2, 3, 0, 1)   # [kh,kw,I,O]
+    out = {"kernel": np.ascontiguousarray(kernel)}
+    if f"{pfx}.bias" in sd:
+        out["bias"] = sd[f"{pfx}.bias"]
+    return out
+
+
+def linear(sd, pfx, flatten_from_chw: tuple[int, int, int] | None = None) -> Tree:
+    w = sd[f"{pfx}.weight"]                       # [O, I]
+    if flatten_from_chw is not None:
+        C, H, W = flatten_from_chw
+        O = w.shape[0]
+        w = w.reshape(O, C, H, W).transpose(0, 2, 3, 1).reshape(O, H * W * C)
+    out = {"kernel": np.ascontiguousarray(w.T)}
+    if f"{pfx}.bias" in sd:
+        out["bias"] = sd[f"{pfx}.bias"]
+    return out
+
+
+def batchnorm(sd, pfx) -> tuple[Tree, Tree]:
+    params = {"scale": sd[f"{pfx}.weight"], "bias": sd[f"{pfx}.bias"]}
+    stats = {"mean": sd[f"{pfx}.running_mean"], "var": sd[f"{pfx}.running_var"]}
+    return params, stats
+
+
+def lstm(sd, pfx, num_layers=3) -> Tree:
+    out = {}
+    for l in range(num_layers):
+        out[f"w_ih_l{l}"] = np.ascontiguousarray(sd[f"{pfx}.weight_ih_l{l}"].T)
+        out[f"w_hh_l{l}"] = np.ascontiguousarray(sd[f"{pfx}.weight_hh_l{l}"].T)
+        out[f"b_ih_l{l}"] = sd[f"{pfx}.bias_ih_l{l}"]
+        out[f"b_hh_l{l}"] = sd[f"{pfx}.bias_hh_l{l}"]
+    return out
+
+
+class _TreeBuilder:
+    """Collects params and batch_stats trees addressed by '/'-paths."""
+
+    def __init__(self):
+        self.params: Tree = {}
+        self.stats: Tree = {}
+
+    @staticmethod
+    def _set(tree, path, value):
+        parts = path.split("/")
+        for p in parts[:-1]:
+            tree = tree.setdefault(p, {})
+        tree[parts[-1]] = value
+
+    def add(self, path, leaf: Tree):
+        for k, v in leaf.items():
+            self._set(self.params, f"{path}/{k}", v)
+
+    def add_bn(self, sd, torch_pfx, path):
+        params, stats = batchnorm(sd, torch_pfx)
+        for k, v in params.items():
+            self._set(self.params, f"{path}/{k}", v)
+        for k, v in stats.items():
+            self._set(self.stats, f"{path}/{k}", v)
+
+    def conv_block(self, sd, torch_pfx, path):
+        """reference ``conv2d`` helper: Sequential(conv(no bias), bn, relu)."""
+        self.add(f"{path}/conv", conv2d(sd, f"{torch_pfx}.0"))
+        self.add_bn(sd, f"{torch_pfx}.1", f"{path}/norm")
+
+    def block(self, sd, torch_pfx, path):
+        """Same/Down/UpBlock: .conv + .norm."""
+        self.add(f"{path}/conv", conv2d(sd, f"{torch_pfx}.conv"))
+        self.add_bn(sd, f"{torch_pfx}.norm", f"{path}/norm")
+
+    def hourglass(self, sd, torch_pfx, path, num_blocks=5):
+        for i in range(num_blocks):
+            self.block(sd, f"{torch_pfx}.encoder.down_blocks.{i}",
+                       f"{path}/encoder/down{i}")
+            self.block(sd, f"{torch_pfx}.decoder.up_blocks.{i}",
+                       f"{path}/decoder/up{i}")
+
+    def resblock(self, sd, torch_pfx, path):
+        self.add(f"{path}/conv1", conv2d(sd, f"{torch_pfx}.conv1"))
+        self.add(f"{path}/conv2", conv2d(sd, f"{torch_pfx}.conv2"))
+        self.add_bn(sd, f"{torch_pfx}.norm1", f"{path}/norm1")
+        self.add_bn(sd, f"{torch_pfx}.norm2", f"{path}/norm2")
+
+    def done(self) -> dict:
+        out = {"params": self.params}
+        if self.stats:
+            out["batch_stats"] = self.stats
+        return out
+
+
+# ------------------------------------------------------------------- models
+
+def convert_kp_detector(sd: Mapping[str, np.ndarray], num_blocks=5) -> dict:
+    """ref torch names: predictor.*, kp.*, jacobian.* (modules/keypoint_detector.py)."""
+    sd = _strip_prefix(sd)
+    b = _TreeBuilder()
+    b.hourglass(sd, "predictor", "predictor", num_blocks)
+    b.add("head/kp", conv2d(sd, "kp"))
+    if "jacobian.weight" in sd:
+        b.add("head/jacobian", conv2d(sd, "jacobian"))
+    return b.done()
+
+
+def convert_kp_detector_a(sd: Mapping[str, np.ndarray]) -> dict:
+    """KPDetector_a constructs an unused hourglass (ref:modules/
+    keypoint_detector.py:120); only the conv heads are live."""
+    sd = _strip_prefix(sd)
+    b = _TreeBuilder()
+    b.add("head/kp", conv2d(sd, "kp"))
+    if "jacobian.weight" in sd:
+        b.add("head/jacobian", conv2d(sd, "jacobian"))
+    return b.done()
+
+
+def convert_generator(sd: Mapping[str, np.ndarray], num_down_blocks=2,
+                      num_bottleneck_blocks=6, dense_num_blocks=5) -> dict:
+    sd = _strip_prefix(sd)
+    b = _TreeBuilder()
+    b.block(sd, "first", "first")
+    for i in range(num_down_blocks):
+        b.block(sd, f"down_blocks.{i}", f"down{i}")
+        b.block(sd, f"up_blocks.{i}", f"up{i}")
+    for i in range(num_bottleneck_blocks):
+        b.resblock(sd, f"bottleneck.r{i}", f"res{i}")
+    b.add("final", conv2d(sd, "final"))
+    dm = "dense_motion_network"
+    b.hourglass(sd, f"{dm}.hourglass", f"{dm}/hourglass", dense_num_blocks)
+    b.add(f"{dm}/mask", conv2d(sd, f"{dm}.mask"))
+    if f"{dm}.occlusion.weight" in sd:
+        b.add(f"{dm}/occlusion", conv2d(sd, f"{dm}.occlusion"))
+    return b.done()
+
+
+def convert_atnet(sd: Mapping[str, np.ndarray]) -> dict:
+    """AT_net / AT_net2 (ref:modules/util.py:203-304,514-614)."""
+    sd = _strip_prefix(sd)
+    b = _TreeBuilder()
+    for i in range(8):
+        b.block(sd, f"down_blocks.{i}", f"image_encoder/down{i}")
+    b.add("pose_encoder/fc0", linear(sd, "pose_encoder.0"))
+    b.add("pose_encoder/fc1", linear(sd, "pose_encoder.2"))
+    # audio_eocder Sequential: conv2d blocks at 0,1,3,4,5 (maxpools at 2,6)
+    for jax_i, torch_i in enumerate([0, 1, 3, 4, 5]):
+        b.conv_block(sd, f"audio_eocder.{torch_i}", f"audio_encoder/conv{jax_i}")
+    # fc after flattening a [B,512,12,2] NCHW map -> permute to NHWC order
+    b.add("audio_encoder/fc0", linear(sd, "audio_eocder_fc.0",
+                                      flatten_from_chw=(512, 12, 2)))
+    b.add("audio_encoder/fc1", linear(sd, "audio_eocder_fc.2"))
+    b.add("lstm", lstm(sd, "lstm", 3))
+    # decon Sequential: convT at 0,3,6,9,12; BN at 1,4,7,10
+    for jax_i, torch_i in enumerate([0, 3, 6, 9, 12]):
+        b.add(f"decoder/decon{jax_i}", conv_transpose2d(sd, f"decon.{torch_i}"))
+    for jax_i, torch_i in enumerate([1, 4, 7, 10]):
+        b.add_bn(sd, f"decon.{torch_i}", f"decoder/norm{jax_i}")
+    return b.done()
+
+
+def _emotion_trunk(b: _TreeBuilder, sd, num_blocks=5):
+    b.hourglass(sd, "predictor", "predictor", num_blocks)
+    b.add("trunk/conv1", conv2d(sd, "conv1"))
+    b.add_bn(sd, "bn1", "trunk/bn1")
+    for li in range(1, 5):
+        for bi in range(2):
+            pfx = f"layer{li}.{bi}"
+            path = f"trunk/layer{li}_{bi}"
+            b.add(f"{path}/conv1", conv2d(sd, f"{pfx}.conv1"))
+            b.add(f"{path}/conv2", conv2d(sd, f"{pfx}.conv2"))
+            b.add_bn(sd, f"{pfx}.bn1", f"{path}/bn1")
+            b.add_bn(sd, f"{pfx}.bn2", f"{path}/bn2")
+            if f"{pfx}.downsample.0.weight" in sd:
+                b.add(f"{path}/ds_conv", conv2d(sd, f"{pfx}.downsample.0"))
+                b.add_bn(sd, f"{pfx}.downsample.1", f"{path}/ds_bn")
+
+
+def convert_emotion_k(sd: Mapping[str, np.ndarray], num_blocks=5) -> dict:
+    """Emotion_k (ref:modules/util.py:1223-1527)."""
+    sd = _strip_prefix(sd)
+    b = _TreeBuilder()
+    _emotion_trunk(b, sd, num_blocks)
+    b.add("fc_p/fc0", linear(sd, "fc_p.0"))
+    b.add("fc_p/fc1", linear(sd, "fc_p.2"))
+    b.add("fc_n/fc0", linear(sd, "fc_n.0"))
+    b.add("fc_n/fc1", linear(sd, "fc_n.2"))
+    for i, t in enumerate([0, 2, 4]):
+        b.add(f"fc_all/fc{i}", linear(sd, f"fc_all.{t}"))
+    if "fc_single.0.weight" in sd:      # made-coherent linear_4 head
+        b.add("fc_single/fc0", linear(sd, "fc_single.0"))
+        b.add("fc_single/fc1", linear(sd, "fc_single.2"))
+    b.add("classify", linear(sd, "classify.last_fc"))
+    # final: Conv1d at 0,3,5 / final_4 at 0,3 / final_10 at 0,3
+    b.add("final_c0/conv", conv1d(sd, "final.0"))
+    b.add("final_c1/conv", conv1d(sd, "final.3"))
+    b.add("final_c2/conv", conv1d(sd, "final.5"))
+    if "final_4.0.weight" in sd:
+        b.add("final4_c0/conv", conv1d(sd, "final_4.0"))
+        b.add("final4_c1/conv", conv1d(sd, "final_4.3"))
+    b.add("final10_c0/conv", conv1d(sd, "final_10.0"))
+    b.add("final10_c1/conv", conv1d(sd, "final_10.3"))
+    return b.done()
+
+
+def convert_emotion_map(sd: Mapping[str, np.ndarray], num_blocks=5) -> dict:
+    """Emotion_map (ref:modules/util.py:1529-1737)."""
+    sd = _strip_prefix(sd)
+    b = _TreeBuilder()
+    _emotion_trunk(b, sd, num_blocks)
+    b.add("fc_p/fc0", linear(sd, "fc_p.0"))
+    b.add("fc_p/fc1", linear(sd, "fc_p.2"))
+    b.add("fc_all/fc0", linear(sd, "fc_all.0"))
+    b.add("classify", linear(sd, "classify.last_fc"))
+    for jax_i, torch_i in enumerate([0, 3, 6, 9]):
+        b.add(f"decon{jax_i}", conv_transpose2d(sd, f"final.{torch_i}"))
+    for jax_i, torch_i in enumerate([1, 4, 7]):
+        b.add_bn(sd, f"final.{torch_i}", f"norm{jax_i}")
+    b.add("head_10/kp", conv2d(sd, "kp"))
+    b.add("head_10/jacobian", conv2d(sd, "jacobian"))
+    b.add("head_4/kp", conv2d(sd, "kp_4"))
+    b.add("head_4/jacobian", conv2d(sd, "jacobian_4"))
+    return b.done()

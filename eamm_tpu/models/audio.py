@@ -1,0 +1,168 @@
+"""Audio2Facial-Dynamics (A2FD): audio + pose + identity -> per-frame
+35-channel feature maps for the audio keypoint detector.
+
+Re-design of the reference AT_net / AT_net2 (ref:modules/util.py:203-304,
+514-614) for TPU:
+
+- The reference loops over timesteps in Python three times (audio encoder,
+  LSTM input build, decoder).  Here the per-step encoders/decoder fold the
+  time axis into the batch (one big MXU-friendly conv/matmul batch) and the
+  3-layer LSTM runs as a single ``lax.scan``.
+- AT_net2 is AT_net plus a scalar multiplier on the audio feature (the demo
+  passes 1.6 to exaggerate mouth motion, ref:demo.py:352); both are this one
+  module — pass ``audio_weight=1.0`` for the training-time AT_net.
+- ``jaco_net='cnn'`` uses the deconv decoder; ``'gan'`` routes the LSTM
+  state through the StyleGAN2 synthesis generator (ref:modules/util.py:294-300).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from eamm_tpu.models.blocks import (BatchNorm, ConvBlock, ConvTranspose,
+                                    DownBlock)
+
+
+class LSTM(nn.Module):
+    """Multi-layer LSTM with torch gate ordering (i, f, g, o) and zero
+    initial state (ref:modules/util.py:244,271-272,288), as one lax.scan."""
+    hidden: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, xs: jnp.ndarray) -> jnp.ndarray:
+        """xs: [B, T, F] -> outputs of the last layer [B, T, hidden]."""
+        B, T, F = xs.shape
+        H = self.hidden
+        bound = float(1.0 / (H ** 0.5))
+
+        def uniform_init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        params = []
+        for l in range(self.num_layers):
+            in_f = F if l == 0 else H
+            w_ih = self.param(f"w_ih_l{l}", uniform_init, (in_f, 4 * H))
+            w_hh = self.param(f"w_hh_l{l}", uniform_init, (H, 4 * H))
+            b_ih = self.param(f"b_ih_l{l}", uniform_init, (4 * H,))
+            b_hh = self.param(f"b_hh_l{l}", uniform_init, (4 * H,))
+            params.append((w_ih, w_hh, b_ih + b_hh))
+
+        def step(carry, x_t):
+            new_carry = []
+            inp = x_t
+            for (w_ih, w_hh, b), (h, c) in zip(params, carry):
+                z = inp @ w_ih + h @ w_hh + b
+                i, f, g, o = jnp.split(z, 4, axis=-1)
+                c_new = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
+                h_new = nn.sigmoid(o) * jnp.tanh(c_new)
+                new_carry.append((h_new, c_new))
+                inp = h_new
+            return tuple(new_carry), inp
+
+        init_carry = tuple((jnp.zeros((B, H), xs.dtype),
+                            jnp.zeros((B, H), xs.dtype))
+                           for _ in range(self.num_layers))
+        _, ys = jax.lax.scan(step, init_carry, jnp.swapaxes(xs, 0, 1))
+        return jnp.swapaxes(ys, 0, 1)
+
+
+class ImageEncoder(nn.Module):
+    """8 DownBlocks 3->4->...->512, 256^2 -> 1^2, flattened to a 512-d
+    identity vector (ref:modules/util.py:206-212,273-277)."""
+
+    @nn.compact
+    def __call__(self, image: jnp.ndarray, train: bool) -> jnp.ndarray:
+        out = image
+        for i in range(8):
+            out = DownBlock(2 * (2 ** (i + 1)), name=f"down{i}")(out, train)
+        return out.reshape(out.shape[0], -1)
+
+
+class AudioEncoder(nn.Module):
+    """Conv stack over a 28x12 MFCC window -> 256-d feature
+    (ref:modules/util.py:228-243)."""
+
+    @nn.compact
+    def __call__(self, mfcc: jnp.ndarray, train: bool) -> jnp.ndarray:
+        x = mfcc[..., None]                                   # [N,28,12,1]
+        x = ConvBlock(64, name="conv0")(x, train)
+        x = ConvBlock(128, name="conv1")(x, train)
+        x = nn.max_pool(x, (3, 3), strides=(1, 2), padding="VALID")
+        x = ConvBlock(256, name="conv2")(x, train)
+        x = ConvBlock(256, name="conv3")(x, train)
+        x = ConvBlock(512, name="conv4")(x, train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        x = x.reshape(x.shape[0], -1)                         # [N, 12288]
+        x = nn.relu(nn.Dense(2048, name="fc0")(x))
+        x = nn.relu(nn.Dense(256, name="fc1")(x))
+        return x
+
+
+class PoseEncoder(nn.Module):
+    """6-d head pose -> 256-d feature (ref:modules/util.py:221-227)."""
+
+    @nn.compact
+    def __call__(self, pose: jnp.ndarray) -> jnp.ndarray:
+        x = nn.relu(nn.Dense(128, name="fc0")(pose))
+        return nn.relu(nn.Dense(256, name="fc1")(x))
+
+
+class FeatureDecoder(nn.Module):
+    """LSTM state [N,256] -> 35-channel 64x64 map via transposed convs
+    (ref:modules/util.py:248-265)."""
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, train: bool) -> jnp.ndarray:
+        x = h[:, None, None, :]                               # [N,1,1,256]
+        x = ConvTranspose(256, 6, 2, 1, name="decon0")(x)     # 4x4
+        x = nn.relu(BatchNorm(256, name="norm0")(x, train))
+        x = ConvTranspose(128, 4, 2, 1, name="decon1")(x)     # 8x8
+        x = nn.relu(BatchNorm(128, name="norm1")(x, train))
+        x = ConvTranspose(128, 4, 2, 1, name="decon2")(x)     # 16x16
+        x = nn.relu(BatchNorm(128, name="norm2")(x, train))
+        x = ConvTranspose(128, 4, 2, 1, name="decon3")(x)     # 32x32
+        x = nn.relu(BatchNorm(128, name="norm3")(x, train))
+        return ConvTranspose(35, 4, 2, 1, name="decon4")(x)   # 64x64, raw
+
+
+class ATNet(nn.Module):
+    """Full A2FD module (AT_net / AT_net2 unified).
+
+    __call__(example_image [B,256,256,3], audio [B,T,28,12], pose [B,T,6])
+      -> deco_out [B,T,64,64,35]
+    """
+    jaco_net: str = "cnn"
+
+    @nn.compact
+    def __call__(self, example_image: jnp.ndarray, audio: jnp.ndarray,
+                 pose: jnp.ndarray, audio_weight: float = 1.0,
+                 train: bool = False) -> jnp.ndarray:
+        B, T = audio.shape[:2]
+        image_feature = ImageEncoder(name="image_encoder")(example_image, train)
+
+        audio_flat = audio.reshape(B * T, *audio.shape[2:])
+        audio_feature = AudioEncoder(name="audio_encoder")(audio_flat, train)
+        audio_feature = audio_feature.reshape(B, T, -1) * audio_weight
+
+        pose_feature = PoseEncoder(name="pose_encoder")(
+            pose.reshape(B * T, -1)).reshape(B, T, -1)
+
+        img_rep = jnp.broadcast_to(image_feature[:, None],
+                                   (B, T, image_feature.shape[-1]))
+        lstm_in = jnp.concatenate([img_rep, audio_feature, pose_feature],
+                                  axis=-1)                    # [B,T,1024]
+        lstm_out = LSTM(256, 3, name="lstm")(lstm_in)         # [B,T,256]
+
+        if self.jaco_net == "cnn":
+            deco = FeatureDecoder(name="decoder")(
+                lstm_out.reshape(B * T, -1), train)
+        elif self.jaco_net == "gan":
+            from eamm_tpu.models.stylegan2 import SynthesisGenerator
+            deco = SynthesisGenerator(size=64, style_dim=256, n_mlp=8,
+                                      out_channels=35, name="generator")(
+                lstm_out.reshape(B * T, -1))
+        else:
+            raise ValueError(f"jaco_net must be 'cnn' or 'gan', got {self.jaco_net!r}")
+        return deco.reshape(B, T, *deco.shape[1:])

@@ -1,0 +1,76 @@
+"""Sparse keypoint motion -> dense deformation field + occlusion map.
+
+Re-design of ref:modules/dense_motion.py for TPU: the K+1 deformed source
+copies are produced by one batched grid_sample (folding the K+1 axis into
+the batch), the heatmap/motion math comes from eamm_tpu.ops, and the whole
+forward is a single fused XLA program.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from eamm_tpu.models.blocks import Hourglass, conv
+from eamm_tpu.ops.antialias import antialias_downsample
+from eamm_tpu.ops.grid import kp2gaussian
+from eamm_tpu.ops.motion import sparse_motions
+from eamm_tpu.ops.warp import grid_sample
+
+
+class DenseMotionNetwork(nn.Module):
+    """ref:modules/dense_motion.py:7-113; config ref:config/train_part1.yaml."""
+    num_kp: int = 10
+    block_expansion: int = 64
+    max_features: int = 1024
+    num_blocks: int = 5
+    scale_factor: float = 0.25
+    kp_variance: float = 0.01
+    estimate_occlusion_map: bool = True
+    num_channels: int = 3
+
+    @nn.compact
+    def __call__(self, source_image: jnp.ndarray, kp_driving: dict,
+                 kp_source: dict, train: bool = False) -> dict:
+        src = antialias_downsample(source_image, self.scale_factor)
+        B, h, w, C = src.shape
+        K = self.num_kp
+
+        # Heatmap representation: gaussian(driving) - gaussian(source), plus a
+        # zero background channel (ref:modules/dense_motion.py:32-45).
+        heatmap = (kp2gaussian(kp_driving["value"], (h, w), self.kp_variance)
+                   - kp2gaussian(kp_source["value"], (h, w), self.kp_variance))
+        heatmap = jnp.concatenate(
+            [jnp.zeros((B, 1, h, w), heatmap.dtype), heatmap], axis=1)
+
+        # Sparse motions [B, K+1, h, w, 2] and K+1 deformed source copies via
+        # one batched warp (ref:modules/dense_motion.py:47-79).
+        motions = sparse_motions((h, w), kp_driving["value"], kp_source["value"],
+                                 kp_driving.get("jacobian"),
+                                 kp_source.get("jacobian"))
+        src_rep = jnp.broadcast_to(src[:, None], (B, K + 1, h, w, C))
+        deformed = grid_sample(src_rep.reshape(B * (K + 1), h, w, C),
+                               motions.reshape(B * (K + 1), h, w, 2))
+        deformed = deformed.reshape(B, K + 1, h, w, C)
+
+        out = {"sparse_deformed": deformed}
+
+        # Hourglass over [heatmap | deformed]: channel c = kp*(C+1) + (0 for
+        # the heatmap, 1..C for the deformed copy), matching the reference's
+        # concat-then-flatten (ref:modules/dense_motion.py:93-94).
+        hg_in = jnp.concatenate(
+            [heatmap[:, :, None], deformed.transpose(0, 1, 4, 2, 3)], axis=2)
+        hg_in = hg_in.reshape(B, (K + 1) * (C + 1), h, w)
+        hg_in = jnp.moveaxis(hg_in, 1, -1)                     # NHWC
+        prediction = Hourglass(self.block_expansion, self.num_blocks,
+                               self.max_features, name="hourglass")(hg_in, train)
+
+        mask = conv(K + 1, 7, padding=3, name="mask")(prediction)
+        mask = nn.softmax(mask, axis=-1)                       # [B,h,w,K+1]
+        out["mask"] = mask
+        deformation = jnp.einsum("bhwk,bkhwc->bhwc", mask, motions)
+        out["deformation"] = deformation                       # [B,h,w,2]
+
+        if self.estimate_occlusion_map:
+            occ = conv(1, 7, padding=3, name="occlusion")(prediction)
+            out["occlusion_map"] = nn.sigmoid(occ)             # [B,h,w,1]
+        return out

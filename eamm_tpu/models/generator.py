@@ -1,0 +1,105 @@
+"""Occlusion-aware generator (Johnson architecture).
+
+Re-design of ref:modules/generator.py:8-97 with a TPU-oriented split: the
+source-image encoding depends only on the source, so inference exposes
+``encode_source`` (run once per clip) and ``decode`` (run per frame, vmapped
+across the frame axis and sharded across the mesh) — the reference re-runs
+the whole network per frame (ref:demo.py:279).  ``__call__`` composes both
+for the training path and matches the reference contract.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from eamm_tpu.models.blocks import SameBlock, DownBlock, UpBlock, ResBlock, conv
+from eamm_tpu.models.dense_motion import DenseMotionNetwork
+from eamm_tpu.ops.warp import grid_sample, resize_bilinear
+
+
+def _deform(feature: jnp.ndarray, deformation: jnp.ndarray) -> jnp.ndarray:
+    """Warp [B,H,W,C] features by a [B,h,w,2] deformation, bilinearly
+    resizing the deformation if resolutions differ (ref:modules/generator.py:50-57)."""
+    H, W = feature.shape[1:3]
+    if deformation.shape[1:3] != (H, W):
+        deformation = resize_bilinear(deformation, (H, W))
+    return grid_sample(feature, deformation)
+
+
+class OcclusionAwareGenerator(nn.Module):
+    num_channels: int = 3
+    num_kp: int = 10
+    block_expansion: int = 64
+    max_features: int = 512
+    num_down_blocks: int = 2
+    num_bottleneck_blocks: int = 6
+    estimate_occlusion_map: bool = True
+    dense_motion_params: dict | None = None
+    estimate_jacobian: bool = True
+
+    def setup(self):
+        if self.dense_motion_params is not None:
+            self.dense_motion_network = DenseMotionNetwork(
+                num_kp=self.num_kp, num_channels=self.num_channels,
+                estimate_occlusion_map=self.estimate_occlusion_map,
+                **self.dense_motion_params)
+        else:
+            self.dense_motion_network = None
+        self.first = SameBlock(self.block_expansion, kernel=7, padding=3,
+                               name="first")
+        self.down_blocks = [
+            DownBlock(min(self.max_features, self.block_expansion * (2 ** (i + 1))),
+                      name=f"down{i}")
+            for i in range(self.num_down_blocks)]
+        bottleneck_features = min(self.max_features,
+                                  self.block_expansion * (2 ** self.num_down_blocks))
+        self.bottleneck = [ResBlock(bottleneck_features, name=f"res{i}")
+                           for i in range(self.num_bottleneck_blocks)]
+        self.up_blocks = [
+            UpBlock(min(self.max_features,
+                        self.block_expansion * (2 ** (self.num_down_blocks - i - 1))),
+                    name=f"up{i}")
+            for i in range(self.num_down_blocks)]
+        self.final = conv(self.num_channels, 7, padding=3, name="final")
+
+    def encode_source(self, source_image: jnp.ndarray, train: bool = False):
+        """Source-only feature volume [B, H/4, W/4, 256]."""
+        out = self.first(source_image, train)
+        for block in self.down_blocks:
+            out = block(out, train)
+        return out
+
+    def decode(self, source_image: jnp.ndarray, source_features: jnp.ndarray,
+               kp_driving: dict, kp_source: dict, train: bool = False) -> dict:
+        """Per-frame motion + rendering given precomputed source features."""
+        output = {}
+        out = source_features
+        if self.dense_motion_network is not None:
+            dense_motion = self.dense_motion_network(
+                source_image, kp_driving=kp_driving, kp_source=kp_source,
+                train=train)
+            output["mask"] = dense_motion["mask"]
+            output["sparse_deformed"] = dense_motion["sparse_deformed"]
+            occlusion_map = dense_motion.get("occlusion_map")
+            if occlusion_map is not None:
+                output["occlusion_map"] = occlusion_map
+            deformation = dense_motion["deformation"]
+            out = _deform(out, deformation)
+            if occlusion_map is not None:
+                if out.shape[1:3] != occlusion_map.shape[1:3]:
+                    occlusion_map = resize_bilinear(occlusion_map, out.shape[1:3])
+                out = out * occlusion_map
+            output["deformed"] = _deform(source_image, deformation)
+
+        for block in self.bottleneck:
+            out = block(out, train)
+        for block in self.up_blocks:
+            out = block(out, train)
+        out = self.final(out)
+        output["prediction"] = nn.sigmoid(out)
+        return output
+
+    def __call__(self, source_image: jnp.ndarray, kp_driving: dict,
+                 kp_source: dict, train: bool = False) -> dict:
+        features = self.encode_source(source_image, train)
+        return self.decode(source_image, features, kp_driving, kp_source, train)

@@ -146,8 +146,10 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
 
 def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
     """2x2 average pooling, stride 2 (torch ``nn.AvgPool2d((2, 2))``,
-    ref:modules/util.py:913).  x: [..., H, W, C]."""
+    ref:modules/util.py:913).  Odd trailing rows/cols are dropped (torch
+    floor semantics).  x: [..., H, W, C]."""
     h, w = x.shape[-3], x.shape[-2]
     lead = x.shape[:-3]
+    x = x[..., : h - h % 2, : w - w % 2, :]
     xr = x.reshape(lead + (h // 2, 2, w // 2, 2, x.shape[-1]))
     return jnp.mean(xr, axis=(-4, -2))
