@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Benchmark: generated frames/sec/chip at 256x256 (the BASELINE.json metric).
+
+Runs the full one-shot inference pipeline (audio -> MFCC -> A2FD -> audio
+keypoints -> smoothing -> batched generator rendering) with production-size
+models on the real TPU chip, measures steady-state throughput over a 10 s
+clip, and prints ONE JSON line.
+
+``vs_baseline`` is measured, not copied (the reference publishes no numbers
+— BASELINE.md): it is the ratio against the reference's frame-at-a-time
+generator-forward structure on this host's torch-cpu, cached in
+``bench_baseline.json``.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_baseline.json")
+
+FULL_CONFIG = {
+    "model_params": {
+        "common_params": {"num_kp": 10, "num_channels": 3,
+                          "estimate_jacobian": True},
+        "audio_params": {"num_kp": 10, "num_channels": 3, "num_channels_a": 3,
+                         "estimate_jacobian": True},
+        "kp_detector_params": {"temperature": 0.1, "block_expansion": 32,
+                               "max_features": 1024, "scale_factor": 0.25,
+                               "num_blocks": 5},
+        "generator_params": {"block_expansion": 64, "max_features": 512,
+                             "num_down_blocks": 2, "num_bottleneck_blocks": 6,
+                             "estimate_occlusion_map": True,
+                             "dense_motion_params": {
+                                 "block_expansion": 64, "max_features": 1024,
+                                 "num_blocks": 5, "scale_factor": 0.25}},
+        "discriminator_params": {"scales": [1], "block_expansion": 32,
+                                 "max_features": 512, "num_blocks": 4,
+                                 "sn": True},
+    },
+    "train_params": {"jaco_net": "cnn"},
+}
+
+
+def reference_fps() -> float:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["torch_cpu_fps"]
+    from benchmarks.torch_reference import measure_reference_fps
+    fps = measure_reference_fps()
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"torch_cpu_fps": fps,
+                   "note": "reference frame-at-a-time generator fwd, torch-cpu"},
+                  f)
+    return fps
+
+
+def main():
+    import jax
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/eamm_jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from eamm_tpu.infer import EammPipeline, PipelineOptions
+
+    # Note: bfloat16 compute measured *slower* on this chip/runtime (32 vs
+    # 49 fps) — small-spatial convs pay bf16 (16,128) retiling more than the
+    # MXU saves; keep f32 until the Pallas warp path lands.
+    pipe = EammPipeline.from_random(
+        FULL_CONFIG, options=PipelineOptions(frame_chunk=32, time_bucket=64,
+                                             add_emo=False))
+    rng = np.random.RandomState(0)
+    src = rng.rand(256, 256, 3).astype(np.float32)
+    wav = (0.1 * rng.randn(16000 * 10)).astype(np.float32)   # 10 s clip
+    pose = rng.randn(1, 7).astype(np.float32)
+
+    # Warm-up (compiles every stage).
+    frames = pipe.render(src, wav, pose, add_emo=False)
+    n_frames = frames.shape[0]
+
+    t0 = time.time()
+    frames = pipe.render(src, wav, pose, add_emo=False)
+    dt = time.time() - t0
+    fps = n_frames / dt
+
+    ref_fps = reference_fps()
+    print(json.dumps({
+        "metric": "generated_frames_per_sec_per_chip_256px",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / ref_fps, 2),
+        "detail": {"clip_seconds": 10, "frames": int(n_frames),
+                   "end_to_end_sec_per_10s_clip": round(dt, 3),
+                   "torch_cpu_reference_fps": round(ref_fps, 2)},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,355 @@
+"""Dataset readers for the reference on-disk layouts, NHWC output.
+
+Layouts (ref:frames_dataset.py, ref:README.md:39-57):
+
+- **LRW / AudioDataset**: ``Image/{train_fo,test_fo}/<word>/<clip>/<N>.png``,
+  ``MFCC/{train,test}/<word>/<clip>/<N>.npy`` ([28, 13] windows),
+  ``pose/{train_fo,test_fo}/<word>/<clip>.npy`` ([M, 7]).
+- **Vox / VoxDataset**: ``align_img/...``, per-video ``MFCC/<name>.npy``
+  ([M, 28, 13]), ``align_pose/<name>.npy``.
+- **MEAD / MeadDataset**: ``MEAD_fomm_crop/<id>/<clip>/<N>.png`` +
+  ``MEAD_MFCC`` + ``MEAD_fomm_pose_crop``, with a neutral-reference
+  dictionary so the example image is a random *neutral* frame of the same
+  identity; emits the ``transformed_driving`` (second, mouth-masked
+  augmented copy) and integer ``emotion`` streams that part-2 training
+  consumes — the checked-in reference dataset does not produce them
+  (SURVEY.md §2.3), so they are defined here explicitly: the emotion label
+  comes from the clip path name.
+
+Samples are dicts of float32 arrays: example_image [256,256,3],
+driving [16,256,256,3], driving_audio [16,28,12], driving_pose [16,6]
+(+ transformed_driving / emotion for MEAD).
+
+Instead of hard-coded author paths (ref:frames_dataset.py:105-107,217,345),
+video lists / neutral dictionaries are discovered from the directory tree
+or accepted as explicit file arguments.
+"""
+from __future__ import annotations
+
+import os
+import queue
+import random
+import threading
+
+import numpy as np
+
+from eamm_tpu.data.augmentation import AllAugmentationTransform
+from eamm_tpu.ops.filters import one_euro_filter
+
+# demo.py's emotion vocabulary, in its documented order (ref:demo.py:557)
+EMOTIONS = ("angry", "contempt", "disgusted", "fear", "happy", "neutral",
+            "sad", "surprised")
+
+
+def _imread_float(path: str) -> np.ndarray:
+    import imageio.v2 as imageio
+    img = np.asarray(imageio.imread(path))
+    if img.ndim == 2:
+        img = np.stack([img] * 3, -1)
+    if img.shape[-1] == 4:
+        img = img[..., :3]
+    if img.dtype == np.uint8:
+        return img.astype(np.float32) / 255.0
+    return img.astype(np.float32)
+
+
+def _discover_clips(image_dir: str) -> list[str]:
+    """All '<sub>/<clip>' directories two levels below image_dir."""
+    clips = []
+    for sub in sorted(os.listdir(image_dir)):
+        sub_path = os.path.join(image_dir, sub)
+        if not os.path.isdir(sub_path):
+            continue
+        for clip in sorted(os.listdir(sub_path)):
+            if os.path.isdir(os.path.join(sub_path, clip)):
+                clips.append(f"{sub}/{clip}")
+    return clips
+
+
+class AudioDataset:
+    """LRW-layout dataset (ref:frames_dataset.py:75-194)."""
+
+    def __init__(self, root_dir, frame_shape=(256, 256, 3), id_sampling=False,
+                 is_train=True, random_seed=0, augmentation_params=None,
+                 video_list=None, name=None):
+        split_img = "train_fo" if is_train else "test_fo"
+        split_audio = "train" if is_train else "test"
+        self.image_dir = os.path.join(root_dir, "Image", split_img)
+        self.audio_dir = os.path.join(root_dir, "MFCC", split_audio)
+        self.pose_dir = os.path.join(root_dir, "pose", split_img)
+        if video_list is not None:
+            self.videos = list(np.load(video_list)) \
+                if isinstance(video_list, str) else list(video_list)
+        else:
+            self.videos = _discover_clips(self.image_dir)
+        self.is_train = is_train
+        self.transform = (AllAugmentationTransform(**(augmentation_params or {}))
+                          if is_train else None)
+
+    def __len__(self):
+        return len(self.videos)
+
+    def __getitem__(self, idx):
+        name = str(self.videos[idx]).split(".")[0]
+        path = os.path.join(self.image_dir, name)
+        audio_path = os.path.join(self.audio_dir, name)
+        # window start r in [3, 7] (ref:frames_dataset.py:152)
+        r = random.choice(range(3, 8))
+        example_image = _imread_float(os.path.join(path, f"{r}.png"))
+        pose_all = np.load(os.path.join(self.pose_dir, name + ".npy"))
+
+        mfccs, poses, frames = [], [], []
+        for ind in range(1, 17):
+            mfccs.append(np.load(os.path.join(audio_path, f"{r + ind}.npy"),
+                                 allow_pickle=True)[:, 1:])
+            poses.append(pose_all[r + ind, :-1])
+            frames.append(_imread_float(os.path.join(path, f"{r + ind}.png")))
+        video_array = np.array(frames)
+        if self.transform is not None:
+            video_array = np.asarray(self.transform(video_array))
+        return {
+            "example_image": example_image.astype(np.float32),
+            "driving": video_array.astype(np.float32),
+            "driving_audio": np.array(mfccs, np.float32),
+            "driving_pose": np.array(poses, np.float32),
+        }
+
+
+class VoxDataset:
+    """VoxCeleb-layout dataset (ref:frames_dataset.py:196-326)."""
+
+    def __init__(self, root_dir, frame_shape=(256, 256, 3), id_sampling=False,
+                 is_train=True, random_seed=0, pairs_list=None,
+                 augmentation_params=None, video_list=None, name=None):
+        split_img = "train_fo" if is_train else "test_fo"
+        split_audio = "train" if is_train else "test"
+        self.image_dir = os.path.join(root_dir, "align_img", split_img)
+        self.audio_dir = os.path.join(root_dir, "MFCC", split_audio)
+        self.pose_dir = os.path.join(root_dir, "align_pose", split_img)
+        self.pairs_list = pairs_list
+        if video_list is not None:
+            self.videos = list(np.load(video_list)) \
+                if isinstance(video_list, str) else list(video_list)
+        else:
+            self.videos = _discover_clips(self.image_dir)
+        self.is_train = is_train
+        self.transform = (AllAugmentationTransform(**(augmentation_params or {}))
+                          if is_train else None)
+
+    def __len__(self):
+        return len(self.videos)
+
+    def _window_start(self, n: int) -> int:
+        # ref:frames_dataset.py:283-287
+        if 16 < n < 24:
+            return 0
+        return random.choice(range(3, n - 20))
+
+    def __getitem__(self, idx):
+        name = str(self.videos[idx]).split(".")[0]
+        path = os.path.join(self.image_dir, name)
+        mfcc = np.load(os.path.join(self.audio_dir, name + ".npy"))
+        pose = np.load(os.path.join(self.pose_dir, name + ".npy"))
+        r = self._window_start(len(mfcc))
+        example_image = _imread_float(os.path.join(path, f"{r}.png"))
+        mfccs, poses, frames = [], [], []
+        for ind in range(1, 17):
+            mfccs.append(mfcc[r + ind][:, 1:])
+            poses.append(pose[r + ind, :-1])
+            frames.append(_imread_float(os.path.join(path, f"{r + ind}.png")))
+        video_array = np.array(frames)
+        if self.transform is not None:
+            video_array = np.asarray(self.transform(video_array))
+        return {
+            "example_image": example_image.astype(np.float32),
+            "driving": video_array.astype(np.float32),
+            "driving_audio": np.array(mfccs, np.float32),
+            "driving_pose": np.array(poses, np.float32),
+        }
+
+
+class MeadDataset:
+    """MEAD-layout dataset for part-2 (ref:frames_dataset.py:328-458).
+
+    Emits both streams part-2 needs: the clean ``driving`` window and a
+    ``transformed_driving`` copy run through the mouth-mask/flip/rotation/
+    perspective augmentations, plus the integer ``emotion`` label parsed
+    from the clip name (one of EMOTIONS).
+    """
+
+    def __init__(self, root_dir, frame_shape=(256, 256, 3), id_sampling=False,
+                 is_train=True, random_seed=0, augmentation_params=None,
+                 video_list=None, neutral_dict=None, name=None):
+        self.image_dir = os.path.join(root_dir, "MEAD_fomm_crop")
+        self.audio_dir = os.path.join(root_dir, "MEAD_MFCC")
+        self.pose_dir = os.path.join(root_dir, "MEAD_fomm_pose_crop")
+        if video_list is not None:
+            self.videos = list(np.load(video_list)) \
+                if isinstance(video_list, str) else list(video_list)
+        else:
+            self.videos = _discover_clips(self.image_dir)
+        if neutral_dict is None:
+            self.neutral = self._build_neutral_dict()
+        elif isinstance(neutral_dict, str):
+            self.neutral = np.load(neutral_dict, allow_pickle=True).item()
+        else:
+            self.neutral = dict(neutral_dict)
+        self.is_train = is_train
+        self.transform = AllAugmentationTransform(**(augmentation_params or {}))
+
+    def _build_neutral_dict(self):
+        """identity -> list of neutral clip paths, discovered from names."""
+        out = {}
+        for clip in self.videos:
+            ident = clip.split("/")[0]
+            if "neutral" in clip.lower():
+                out.setdefault(ident, []).append(clip)
+        return out
+
+    @staticmethod
+    def emotion_label(name: str) -> int:
+        low = name.lower()
+        for i, emo in enumerate(EMOTIONS):
+            if emo in low:
+                return i
+        return EMOTIONS.index("neutral")
+
+    def __len__(self):
+        return len(self.videos)
+
+    def __getitem__(self, idx):
+        name = str(self.videos[idx])
+        path = os.path.join(self.image_dir, name)
+        ident = name.split("/")[0]
+        neu_list = self.neutral.get(ident, [name])
+        neu_path = os.path.join(self.image_dir, str(np.random.choice(neu_list)))
+
+        mfcc = np.load(os.path.join(self.audio_dir, name + ".npy"))
+        pose_raw = np.load(os.path.join(self.pose_dir, name + ".npy"))
+        # one-euro smoothing of raw pose (ref:frames_dataset.py:402-406)
+        import jax.numpy as jnp
+        pose = np.asarray(one_euro_filter(jnp.asarray(pose_raw),
+                                          mincutoff=0.01, beta=0.7, freq=100))
+
+        neu_frames = sorted(os.listdir(neu_path))
+        example_image = _imread_float(
+            os.path.join(neu_path, str(np.random.choice(neu_frames))))
+
+        n = len(mfcc)
+        r = 0 if 16 < n < 24 else random.choice(range(3, n - 20))
+        mfccs, poses, frames = [], [], []
+        for ind in range(1, 17):
+            mfccs.append(mfcc[r + ind][:, 1:])
+            poses.append(pose[r + ind, :-1])
+            frames.append(_imread_float(os.path.join(path, f"{r + ind}.png")))
+        video_array = np.array(frames)
+        transformed = np.asarray(self.transform(np.array(video_array)))
+        return {
+            "example_image": example_image.astype(np.float32),
+            "driving": video_array.astype(np.float32),
+            "transformed_driving": transformed.astype(np.float32),
+            "driving_audio": np.array(mfccs, np.float32),
+            "driving_pose": np.array(poses, np.float32),
+            "emotion": np.int32(self.emotion_label(name)),
+        }
+
+
+class DatasetRepeater:
+    """Epoch lengthening (ref:frames_dataset.py:461-480)."""
+
+    def __init__(self, dataset, num_repeats=100):
+        self.dataset = dataset
+        self.num_repeats = num_repeats
+
+    def __len__(self):
+        return self.num_repeats * len(self.dataset)
+
+    def __getitem__(self, idx):
+        return self.dataset[idx % len(self.dataset)]
+
+
+TestsetRepeater = DatasetRepeater
+
+
+class PairedDataset:
+    """Pair sampling for animation evaluation (ref:frames_dataset.py:500-539)."""
+
+    def __init__(self, initial_dataset, number_of_pairs, seed=0):
+        self.initial_dataset = initial_dataset
+        rng = np.random.RandomState(seed)
+        max_idx = min(number_of_pairs, len(initial_dataset))
+        xy = np.mgrid[:max_idx, :max_idx].reshape(2, -1).T
+        number_of_pairs = min(xy.shape[0], number_of_pairs)
+        self.pairs = xy.take(rng.choice(xy.shape[0], number_of_pairs,
+                                        replace=False), axis=0)
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __getitem__(self, idx):
+        first = self.initial_dataset[self.pairs[idx][0]]
+        second = self.initial_dataset[self.pairs[idx][1]]
+        return {**{f"driving_{k}": v for k, v in first.items()},
+                **{f"source_{k}": v for k, v in second.items()}}
+
+
+class DataLoader:
+    """Minimal threaded, prefetching batch loader.
+
+    The reference trains with ``torch.utils.data.DataLoader(num_workers=0)``
+    (ref:train.py:47) — i.e. synchronous loading on the training thread.
+    Here a small thread pool decodes samples and a bounded queue prefetches
+    whole batches so host IO overlaps device compute.
+    """
+
+    def __init__(self, dataset, batch_size, shuffle=True, num_workers=4,
+                 prefetch=2, drop_last=True, seed=0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def _collate(self, samples):
+        out = {}
+        for key in samples[0]:
+            out[key] = np.stack([s[key] for s in samples])
+        return out
+
+    def __iter__(self):
+        indices = list(range(len(self.dataset)))
+        if self.shuffle:
+            self.rng.shuffle(indices)
+        batches = [indices[i:i + self.batch_size]
+                   for i in range(0, len(indices), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                futures = [pool.submit(
+                    lambda b=b: self._collate([self.dataset[i] for i in b]))
+                    for b in batches]
+                for fut in futures:
+                    q.put(fut.result())
+            q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item

@@ -1,0 +1,409 @@
+"""One-shot emotional talking-face inference pipeline.
+
+Re-designs the reference demo flow (ref:demo.py:194-354,467-520) as three
+fused, jitted stages instead of a frame-at-a-time Python loop with per-frame
+GPU<->CPU filter round trips:
+
+1. **audio stage** (sequential, cheap): raw waveform -> MFCC windows ->
+   A2FD LSTM scan -> per-frame 35-ch feature maps -> audio keypoints for all
+   frames (vmapped head) -> one-euro smoothing as a scan.  Optionally the
+   emotion displacement branch (vmapped over frames) with its own filter.
+2. **keypoint composition**: emotion deltas added to kp {1 (x0.2), 4, 6}
+   (ref:demo.py:263-273), then relative-movement normalization.
+3. **render stage** (parallel, heavy): source features encoded once, then
+   the generator decoder runs over fixed-size frame chunks — vmapped into
+   the batch axis and shardable across the TPU mesh ('data' axis), so a
+   whole clip renders in a few big MXU-saturating dispatches.
+
+Clip lengths are padded to buckets to avoid per-length recompilation (the
+LSTM scan and one-euro filter are prefix-safe, so padded tails are simply
+sliced off).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eamm_tpu import config as cfg
+from eamm_tpu.ops.mfcc import audio_to_mfcc_windows, num_mfcc_frames, num_windows, PAD_SAMPLES
+from eamm_tpu.ops.filters import one_euro_filter
+from eamm_tpu.ops.motion import normalize_kp, convex_hull_area
+
+
+@dataclasses.dataclass
+class PipelineOptions:
+    relative: bool = False            # ref:demo.py:545,558 (default False)
+    adapt_scale: bool = False
+    add_emo: bool = True
+    emo_type: str = "linear_3"        # demo --type (linear_3 -> 'linear' head)
+    audio_weight: float = 1.6         # ref:demo.py:352
+    smooth_pose: bool = True
+    frame_chunk: int = 16             # frames per render dispatch
+    time_bucket: int = 32             # clip-length padding granularity
+    compute_dtype: Any = jnp.float32  # bfloat16 for speed on TPU
+
+
+_EMO_HEAD = {"linear_3": "linear", "linear_4": "linear_4",
+             "linear_10": "linear_10", "linear_np_4": "linear_np_4",
+             "linear_np_10": "linear_np_10", "map": "map", "map_4": "map_4"}
+
+
+def _bucket(n: int, b: int) -> int:
+    return max(b, int(math.ceil(n / b)) * b)
+
+
+class EammPipeline:
+    """Holds models + variables and the jitted stage functions."""
+
+    def __init__(self, config: dict, variables: dict,
+                 options: PipelineOptions | None = None):
+        """variables: {'generator': {'params':..., 'batch_stats':...},
+        'kp_detector': ..., 'kp_detector_a': ..., 'audio_feature': ...,
+        'emo_detector': ...}."""
+        self.config = config
+        self.options = options or PipelineOptions()
+        self.models = cfg.build_all(
+            config, emotion_kind=self.options.emo_type.split("_")[0])
+        self.vars = variables
+        # jit the stages with variables as traced arguments (so weights are
+        # device buffers, not baked-in constants).
+        self._audio_kp_stage = jax.jit(self._audio_kp_stage_impl)
+        self._emotion_stage = jax.jit(self._emotion_stage_impl)
+        self._compose_kp = jax.jit(self._compose_kp_impl)
+        self._render_chunk = jax.jit(self._render_chunk_impl)
+        # Whole-clip fused path: ONE dispatch per clip (the per-dispatch
+        # latency of a remote/queued TPU runtime would otherwise dominate).
+        self._full_render = jax.jit(self._full_render_impl,
+                                    static_argnames=("add_emo",))
+        if self.options.compute_dtype != jnp.float32:
+            self._render_vars = jax.tree.map(
+                lambda x: x.astype(self.options.compute_dtype)
+                if hasattr(x, "astype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x, variables)
+        else:
+            self._render_vars = variables
+
+    # ------------------------------------------------------------ stages
+
+    def _audio_kp_stage_impl(self, variables, source_image, mfcc_windows, pose):
+        """-> (kp_source, kp_audio over T [T,...] smoothed, deco0 kp)."""
+        o = self.options
+        m, v = self.models, variables
+        kp_source = m["kp_detector"].apply(v["kp_detector"], source_image)
+
+        deco = m["audio_feature"].apply(
+            v["audio_feature"], source_image, mfcc_windows[None], pose[None],
+            audio_weight=o.audio_weight)[0]              # [T,64,64,35]
+        # The audio kp head is stateless in eval: the frame axis IS the batch.
+        kp_a = m["kp_detector_a"].apply(v["kp_detector_a"], deco)  # [T,...]
+        kp_initial = {k: val[:1] for k, val in kp_a.items()}
+
+        # One-euro smoothing of the whole trajectory (ref:demo.py:241-248).
+        smoothed = {
+            "value": one_euro_filter(kp_a["value"], mincutoff=0.05, beta=8.0,
+                                     freq=100, scale=10.0),
+            "jacobian": one_euro_filter(kp_a["jacobian"], mincutoff=0.05,
+                                        beta=8.0, freq=100, scale=10.0),
+        }
+        return kp_source, smoothed, kp_initial, deco
+
+    def _emotion_stage_impl(self, variables, transformed_frames, kp_value,
+                            kp_jacobian):
+        """Per-frame emotion displacements, smoothed (ref:demo.py:221-238)."""
+        o = self.options
+        m, v = self.models, variables
+        head = _EMO_HEAD[o.emo_type]
+        kp, _ = m["emo_detector"].apply(v["emo_detector"], transformed_frames,
+                                        kp_value, kp_jacobian, head=head)
+        emo = {"value": kp["value"], "jacobian": kp["jacobian"]}
+        return {
+            "value": one_euro_filter(emo["value"], mincutoff=1.0, beta=0.2,
+                                     freq=100, scale=100.0),
+            "jacobian": one_euro_filter(emo["jacobian"], mincutoff=1.0,
+                                        beta=0.2, freq=100, scale=100.0),
+        }
+
+    def _compose_kp_impl(self, kp_audio, emo):
+        """Add emotion displacement to kp 1 (x0.2), 4, 6 (ref:demo.py:263-273)."""
+        value = kp_audio["value"]
+        jac = kp_audio["jacobian"]
+        value = value.at[:, 1].add(emo["value"][:, 0] * 0.2)
+        jac = jac.at[:, 1].add(emo["jacobian"][:, 0] * 0.2)
+        value = value.at[:, 4].add(emo["value"][:, 1])
+        jac = jac.at[:, 4].add(emo["jacobian"][:, 1])
+        value = value.at[:, 6].add(emo["value"][:, 2])
+        jac = jac.at[:, 6].add(emo["jacobian"][:, 2])
+        return {"value": value, "jacobian": jac}
+
+    def _render_chunk_impl(self, variables, source_image, source_features,
+                           kp_source, kp_value, kp_jacobian):
+        """Render a [F]-frame chunk with precomputed source features: the
+        frame axis becomes the generator's batch axis (eval BN is stateless),
+        one big MXU-friendly dispatch."""
+        gen = self.models["generator"]
+        F = kp_value.shape[0]
+        src = jnp.broadcast_to(source_image, (F,) + source_image.shape[1:])
+        feats = jnp.broadcast_to(source_features,
+                                 (F,) + source_features.shape[1:])
+        kp_s = {k: jnp.broadcast_to(val, (F,) + val.shape[1:])
+                for k, val in kp_source.items()}
+        out = gen.apply(variables["generator"], src, feats,
+                        {"value": kp_value, "jacobian": kp_jacobian}, kp_s,
+                        method=gen.decode)
+        return out["prediction"]
+
+    def _full_render_impl(self, variables, source_image, mfcc_windows, pose,
+                          transformed_frames, add_emo: bool):
+        """Entire clip in one XLA program: audio -> kp -> (emotion) ->
+        normalize -> chunked batched rendering -> uint8 frames.
+
+        transformed_frames: [Tp, 256, 256, 3] (ignored unless add_emo).
+        Returns uint8 [Tp, 256, 256, 3].
+        """
+        o = self.options
+        dt = o.compute_dtype
+        kp_source, kp_audio, kp_initial, _ = self._audio_kp_stage_impl(
+            variables, source_image, mfcc_windows, pose)
+        if add_emo:
+            emo = self._emotion_stage_impl(
+                variables, transformed_frames,
+                kp_audio["value"], kp_audio["jacobian"])
+            kp_driving = self._compose_kp_impl(kp_audio, emo)
+        else:
+            kp_driving = kp_audio
+        kp_norm = normalize_kp(
+            {k: v[0] for k, v in kp_source.items() if k != "heatmap"},
+            kp_driving, {k: v[0] for k, v in kp_initial.items()},
+            use_relative_movement=o.relative, use_relative_jacobian=o.relative)
+
+        gen = self.models["generator"]
+        gvars = variables["generator"]
+        if dt != jnp.float32:
+            gvars = jax.tree.map(
+                lambda x: x.astype(dt)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, gvars)
+        src = source_image.astype(dt)
+        feats = gen.apply(gvars, src, method=gen.encode_source)
+        kp_s = {k: v[0].astype(dt) for k, v in kp_source.items()
+                if k != "heatmap"}
+
+        Tp = kp_norm["value"].shape[0]
+        F = o.frame_chunk
+        n_chunks = Tp // F
+        kv = kp_norm["value"].astype(dt).reshape(n_chunks, F, 10, 2)
+        kj = kp_norm["jacobian"].astype(dt).reshape(n_chunks, F, 10, 2, 2)
+
+        def render_one_chunk(kp_chunk):
+            val, jac = kp_chunk
+            srcF = jnp.broadcast_to(src, (F,) + src.shape[1:])
+            featF = jnp.broadcast_to(feats, (F,) + feats.shape[1:])
+            kpsF = {k: jnp.broadcast_to(v[None], (F,) + v.shape)
+                    for k, v in kp_s.items()}
+            out = gen.apply(gvars, srcF, featF,
+                            {"value": val, "jacobian": jac}, kpsF,
+                            method=gen.decode, want_aux=False)
+            pred = out["prediction"].astype(jnp.float32)
+            return jnp.clip(jnp.round(pred * 255.0), 0, 255).astype(jnp.uint8)
+
+        frames = jax.lax.map(render_one_chunk, (kv, kj))
+        return frames.reshape(n_chunks * F, *frames.shape[2:])
+
+    # ------------------------------------------------------------ driver
+
+    def audio_to_windows(self, waveform: np.ndarray) -> np.ndarray:
+        return np.asarray(jax.jit(audio_to_mfcc_windows)(jnp.asarray(waveform)))
+
+    def prepare_pose(self, all_pose: np.ndarray, T: int) -> np.ndarray:
+        """Host-side pose tiling / smoothing (ref:demo.py:297-341)."""
+        pose = np.asarray(all_pose, np.float32).reshape(-1, 7)[:, :6]
+        if len(pose) == 1:
+            pose = np.repeat(pose, 100, 0)
+        elif self.options.smooth_pose:
+            pose = np.asarray(one_euro_filter(
+                jnp.asarray(pose), mincutoff=0.004, beta=0.7, freq=100))
+        if len(pose) < T:
+            gap = T - len(pose)
+            n = int(gap / len(pose) / 2) + 2
+            pose = np.concatenate([pose, pose[::-1, :]], axis=0)
+            pose = np.tile(pose, (n, 1))
+        return pose[:T]
+
+    def render(self, source_image: np.ndarray, waveform: np.ndarray,
+               all_pose: np.ndarray,
+               transformed_video: np.ndarray | None = None,
+               add_emo: bool | None = None) -> np.ndarray:
+        """Full clip synthesis.
+
+        Args:
+          source_image: [256, 256, 3] float32 in [0, 1] (pre-cropped).
+          waveform: [N] float32 at 16 kHz.
+          all_pose: [M, 7] 3DDFA pose (or [1, 7]).
+          transformed_video: [T', 256, 256, 3] mouth-masked aligned emotion
+            frames (required when add_emo).
+        Returns [T, 256, 256, 3] float32 frames in [0, 1].
+        """
+        return self.render_uint8(source_image, waveform, all_pose,
+                                 transformed_video, add_emo
+                                 ).astype(np.float32) / 255.0
+
+    def render_uint8(self, source_image, waveform, all_pose,
+                     transformed_video=None, add_emo=None) -> np.ndarray:
+        """Fused fast path: one device dispatch per clip, uint8 frames out.
+
+        Falls back to the staged path when ``adapt_scale`` is requested
+        (its convex-hull scale is computed on the host).
+        """
+        o = self.options
+        add_emo = o.add_emo if add_emo is None else add_emo
+        if o.adapt_scale:
+            frames = self._render_staged(source_image, waveform, all_pose,
+                                         transformed_video, add_emo)
+            return np.clip(np.round(frames * 255.0), 0, 255).astype(np.uint8)
+
+        windows = self.audio_to_windows(waveform)
+        T = windows.shape[0]
+        bucket = _bucket(o.time_bucket, o.frame_chunk)
+        Tp = _bucket(T, bucket)
+        windows_p = np.zeros((Tp,) + windows.shape[1:], np.float32)
+        windows_p[:T] = windows
+        pose_p = np.zeros((Tp, 6), np.float32)
+        pose_p[:T] = self.prepare_pose(all_pose, T)
+
+        if add_emo:
+            if transformed_video is None:
+                raise ValueError("add_emo requires transformed_video frames")
+            frames = np.asarray(transformed_video, np.float32)
+            if len(frames) < Tp:
+                frames = np.resize(frames, (Tp,) + frames.shape[1:])
+            emo_frames = jnp.asarray(frames[:Tp])
+        else:
+            emo_frames = jnp.zeros((Tp, 256, 256, 3), jnp.float32)
+
+        src = jnp.asarray(source_image, jnp.float32)[None]
+        out = self._full_render(self.vars, src, jnp.asarray(windows_p),
+                                jnp.asarray(pose_p), emo_frames,
+                                add_emo=add_emo)
+        return np.asarray(out)[:T]
+
+    def _render_staged(self, source_image, waveform, all_pose,
+                       transformed_video=None, add_emo=None) -> np.ndarray:
+        o = self.options
+        add_emo = o.add_emo if add_emo is None else add_emo
+
+        windows = self.audio_to_windows(waveform)
+        T = windows.shape[0]
+        Tp = _bucket(T, o.time_bucket)
+        windows_p = np.zeros((Tp,) + windows.shape[1:], np.float32)
+        windows_p[:T] = windows
+        pose = self.prepare_pose(all_pose, T)
+        pose_p = np.zeros((Tp, 6), np.float32)
+        pose_p[:T] = pose
+
+        src = jnp.asarray(source_image, jnp.float32)[None]
+        kp_source, kp_audio, kp_initial, _ = self._audio_kp_stage(
+            self.vars, src, jnp.asarray(windows_p), jnp.asarray(pose_p))
+        kp_audio = {k: v[:T] for k, v in kp_audio.items()}
+
+        if add_emo:
+            if transformed_video is None:
+                raise ValueError("add_emo requires transformed_video frames")
+            frames = np.asarray(transformed_video, np.float32)
+            if len(frames) < T:   # np.resize-style cycling (ref:demo.py:499-500)
+                frames = np.resize(frames, (T,) + frames.shape[1:])
+            frames = frames[:T]
+            emo = self._emotion_stage(self.vars, jnp.asarray(frames),
+                                      kp_audio["value"], kp_audio["jacobian"])
+            kp_driving = self._compose_kp(kp_audio, emo)
+        else:
+            kp_driving = kp_audio
+
+        scale = 1.0
+        if o.adapt_scale:
+            src_area = convex_hull_area(np.asarray(kp_source["value"][0]))
+            drv_area = convex_hull_area(np.asarray(kp_initial["value"][0]))
+            scale = float(np.sqrt(src_area) / np.sqrt(drv_area))
+        kp_norm = normalize_kp(
+            {k: v[0] for k, v in kp_source.items() if k != "heatmap"},
+            kp_driving,
+            {k: v[0] for k, v in kp_initial.items()},
+            use_relative_movement=o.relative, use_relative_jacobian=o.relative,
+            adapt_movement_scale=scale)
+
+        # Render in fixed-size chunks (one compilation).
+        gen = self.models["generator"]
+        feats = gen.apply(self.vars["generator"], src,
+                          method=gen.encode_source)
+        F = o.frame_chunk
+        n_chunks = int(math.ceil(T / F))
+        out = np.zeros((n_chunks * F, 256, 256, 3), np.float32)
+        val = np.zeros((n_chunks * F,) + kp_norm["value"].shape[1:], np.float32)
+        jac = np.zeros((n_chunks * F,) + kp_norm["jacobian"].shape[1:], np.float32)
+        val[:T] = np.asarray(kp_norm["value"])
+        jac[:T] = np.asarray(kp_norm["jacobian"])
+        jac[T:] = np.eye(2)
+        for c in range(n_chunks):
+            sl = slice(c * F, (c + 1) * F)
+            out[sl] = np.asarray(self._render_chunk(
+                self.vars, src, feats,
+                {k: v for k, v in kp_source.items() if k != "heatmap"},
+                jnp.asarray(val[sl]), jnp.asarray(jac[sl])))
+        return out[:T]
+
+    # -------------------------------------------------------- constructors
+
+    @classmethod
+    def from_random(cls, config: dict, rng=None,
+                    options: PipelineOptions | None = None) -> "EammPipeline":
+        """Random-weight pipeline (benchmarks, smoke tests)."""
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        options = options or PipelineOptions()
+        models = cfg.build_all(config,
+                               emotion_kind=options.emo_type.split("_")[0])
+        k = jax.random.split(rng, 5)
+        src = jnp.zeros((1, 256, 256, 3))
+        kp0 = {"value": jnp.zeros((1, 10, 2)),
+               "jacobian": jnp.broadcast_to(jnp.eye(2), (1, 10, 2, 2))}
+        # jit the inits: eager op-by-op init dispatch is very slow on TPU.
+        variables = {
+            "kp_detector": jax.jit(models["kp_detector"].init)(k[0], src),
+            "generator": jax.jit(models["generator"].init)(k[1], src, kp0, kp0),
+            "kp_detector_a": jax.jit(models["kp_detector_a"].init)(
+                k[2], jnp.zeros((1, 64, 64, 35))),
+            "audio_feature": jax.jit(models["audio_feature"].init)(
+                k[3], src, jnp.zeros((1, 2, 28, 12)), jnp.zeros((1, 2, 6))),
+            "emo_detector": jax.jit(
+                lambda key, x, v, j: models["emo_detector"].init(
+                    key, x, v, j, head="all"))(
+                k[4], src, kp0["value"], kp0["jacobian"]),
+        }
+        return cls(config, variables, options)
+
+    @classmethod
+    def from_torch_checkpoints(cls, config: dict, fomm_path: str,
+                               audio_path: str, emo_path: str,
+                               options: PipelineOptions | None = None
+                               ) -> "EammPipeline":
+        """Load the reference's three torch checkpoints (ref:demo.py:82-95)."""
+        from eamm_tpu import compat
+        options = options or PipelineOptions()
+        fomm = compat.load_torch_checkpoint(fomm_path)
+        audio = compat.load_torch_checkpoint(audio_path)
+        emo = compat.load_torch_checkpoint(emo_path)
+        convert_emo = (compat.convert_emotion_map
+                       if options.emo_type.startswith("map")
+                       else compat.convert_emotion_k)
+        variables = {
+            "generator": compat.convert_generator(fomm["generator"]),
+            "kp_detector": compat.convert_kp_detector(fomm["kp_detector"]),
+            "kp_detector_a": compat.convert_kp_detector_a(
+                audio["kp_detector_a"]),
+            "audio_feature": compat.convert_atnet(audio["audio_feature"]),
+            "emo_detector": convert_emo(emo["emo_detector"]),
+        }
+        return cls(config, variables, options)

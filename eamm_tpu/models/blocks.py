@@ -42,7 +42,8 @@ class BatchNorm(nn.Module):
             mean2 = jnp.mean(jnp.square(x), axis=reduce_axes)
             var = mean2 - jnp.square(mean)          # biased, used to normalize
             n = x.size // x.shape[-1]
-            if not self.is_initializing():
+            if (not self.is_initializing()
+                    and self.is_mutable_collection("batch_stats")):
                 unbiased = var * (n / max(n - 1, 1))
                 ra_mean.value = ((1 - self.momentum) * ra_mean.value
                                  + self.momentum * mean.astype(jnp.float32))

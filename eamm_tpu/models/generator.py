@@ -70,26 +70,35 @@ class OcclusionAwareGenerator(nn.Module):
         return out
 
     def decode(self, source_image: jnp.ndarray, source_features: jnp.ndarray,
-               kp_driving: dict, kp_source: dict, train: bool = False) -> dict:
-        """Per-frame motion + rendering given precomputed source features."""
+               kp_driving: dict, kp_source: dict, train: bool = False,
+               want_aux: bool = True) -> dict:
+        """Per-frame motion + rendering given precomputed source features.
+
+        want_aux=False skips the diagnostic outputs (mask, sparse_deformed
+        and the full-resolution ``deformed`` source warp) — they are only
+        consumed by training visualisation, and the 256^2 warp is pure
+        overhead in the inference hot path.
+        """
         output = {}
         out = source_features
         if self.dense_motion_network is not None:
             dense_motion = self.dense_motion_network(
                 source_image, kp_driving=kp_driving, kp_source=kp_source,
                 train=train)
-            output["mask"] = dense_motion["mask"]
-            output["sparse_deformed"] = dense_motion["sparse_deformed"]
             occlusion_map = dense_motion.get("occlusion_map")
-            if occlusion_map is not None:
-                output["occlusion_map"] = occlusion_map
+            if want_aux:
+                output["mask"] = dense_motion["mask"]
+                output["sparse_deformed"] = dense_motion["sparse_deformed"]
+                if occlusion_map is not None:
+                    output["occlusion_map"] = occlusion_map
             deformation = dense_motion["deformation"]
             out = _deform(out, deformation)
             if occlusion_map is not None:
                 if out.shape[1:3] != occlusion_map.shape[1:3]:
                     occlusion_map = resize_bilinear(occlusion_map, out.shape[1:3])
                 out = out * occlusion_map
-            output["deformed"] = _deform(source_image, deformation)
+            if want_aux:
+                output["deformed"] = _deform(source_image, deformation)
 
         for block in self.bottleneck:
             out = block(out, train)

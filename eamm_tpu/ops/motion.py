@@ -12,6 +12,20 @@ import jax.numpy as jnp
 from eamm_tpu.ops.grid import make_coordinate_grid
 
 
+def inv2x2(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of [..., 2, 2] matrices (avoids the LU
+    decomposition path, which XLA only implements for f32, and is much
+    cheaper for the per-keypoint Jacobians)."""
+    a = m[..., 0, 0]
+    b = m[..., 0, 1]
+    c = m[..., 1, 0]
+    d = m[..., 1, 1]
+    det = a * d - b * c
+    inv = jnp.stack([jnp.stack([d, -b], axis=-1),
+                     jnp.stack([-c, a], axis=-1)], axis=-2)
+    return inv / det[..., None, None]
+
+
 def sparse_motions(spatial_size: tuple[int, int],
                    kp_driving_value: jnp.ndarray,
                    kp_source_value: jnp.ndarray,
@@ -32,7 +46,7 @@ def sparse_motions(spatial_size: tuple[int, int],
     identity = make_coordinate_grid(h, w, dtype=kp_driving_value.dtype)  # [h,w,2]
     coord = identity[None, None] - kp_driving_value[:, :, None, None, :]  # [B,K,h,w,2]
     if kp_driving_jacobian is not None:
-        jac = jnp.matmul(kp_source_jacobian, jnp.linalg.inv(kp_driving_jacobian))
+        jac = jnp.matmul(kp_source_jacobian, inv2x2(kp_driving_jacobian))
         coord = jnp.einsum("bkij,bkhwj->bkhwi", jac, coord)
     driving_to_source = coord + kp_source_value[:, :, None, None, :]
     identity_b = jnp.broadcast_to(identity[None, None], (B, 1, h, w, 2))
@@ -53,7 +67,7 @@ def relative_kp(kp_driving_value, kp_driving_initial_value, kp_source_value,
     jacobian = None
     if kp_driving_jacobian is not None:
         diff = jnp.matmul(kp_driving_jacobian,
-                          jnp.linalg.inv(kp_driving_initial_jacobian))
+                          inv2x2(kp_driving_initial_jacobian))
         jacobian = jnp.matmul(diff, kp_source_jacobian)
     return value, jacobian
 

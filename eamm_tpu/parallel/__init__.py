@@ -1,0 +1,2 @@
+from eamm_tpu.parallel.mesh import (make_mesh, batch_sharding, replicated,
+                                    shard_batch, host_cpu_mesh)

@@ -1,0 +1,55 @@
+"""Device mesh + sharding helpers.
+
+The reference's only parallelism is single-process DataParallel with a
+thread-based synchronized BatchNorm (ref:train.py:53-63, ref:sync_batchnorm/).
+The TPU-native equivalent is a named ``jax.sharding.Mesh`` with the batch
+(identities / clips / frames) sharded over the ``data`` axis:
+
+- gradients: averaged automatically when the loss reduces over the sharded
+  batch under ``jit`` (XLA inserts the ICI all-reduce),
+- batch-norm statistics: the BN mean/var reductions over the sharded batch
+  axis likewise become cross-chip collectives — this *is* SyncBN,
+- the per-frame generator in inference is embarrassingly parallel, so clip
+  rendering shards the frame axis the same way.
+
+Multi-host DCN is handled transparently by jax.distributed initialization;
+nothing here changes.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    """1-D mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def host_cpu_mesh(n_devices: int, axis_name: str = "data") -> Mesh:
+    """Mesh over host CPU devices (tests / dry runs).  Requires
+    ``--xla_force_host_platform_device_count=<n>`` to have been set."""
+    cpus = jax.devices("cpu")
+    if len(cpus) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} cpu devices, have {len(cpus)}; set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count")
+    return Mesh(np.asarray(cpus[:n_devices]), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard leading (batch) axis across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(tree, mesh: Mesh, axis_name: str = "data"):
+    """Device-put a pytree of host arrays with the batch axis sharded."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,279 @@
+"""pjit-able training steps.
+
+Each step is a pure function ``(state, batch, rng) -> (state, metrics)``
+meant to be ``jax.jit``-ed with the batch sharded over the mesh's ``data``
+axis and the state replicated: batch reductions (loss means, BatchNorm
+statistics) then lower to ICI collectives, which reproduces the reference's
+DataParallel + SyncBN training semantics (ref:train.py:53-63) with no
+custom communication code.
+
+Stage composition mirrors ref:run.py / ref:train.py:
+
+- part1 (``train_part1``): optimize audio_feature + kp_detector_a against a
+  frozen FOMM kp_detector/generator with kp-mimic losses.
+- part1 fine-tune (``train_part1_fine_tune``): same, plus the generator is
+  trained with a VGG perceptual pyramid on every 4th frame
+  (``generator='audio'``) and optional LSGAN terms.
+- part2 (``train_part2``): optimize emo_detector only with residual
+  keypoint losses + emotion cross-entropy.
+
+Design deviation from the reference (documented): the reference runs its
+per-frame submodules in a Python loop, giving BatchNorm per-frame batch
+statistics; here the 16-frame window folds into the batch axis, so BN
+statistics average over B*T.  Inference parity is unaffected (eval BN uses
+running stats).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from eamm_tpu.train import losses as L
+
+
+class Part1State(NamedTuple):
+    trainable: dict           # {'audio_feature': params, 'kp_detector_a': params, ['generator']}
+    frozen: dict              # {'kp_detector': params, ['generator'], ['vgg']}
+    batch_stats: dict         # {module: stats tree}
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class Part2State(NamedTuple):
+    trainable: dict           # {'emo_detector': params}
+    frozen: dict              # {'kp_detector', 'audio_feature', 'kp_detector_a'}
+    batch_stats: dict
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def _fold(x):
+    """[B, T, ...] -> [B*T, ...]"""
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def _apply_kp_detector(model, params, stats, images, train):
+    variables = {"params": params, "batch_stats": stats}
+    return model.apply(variables, images, train=train)
+
+
+def init_part1_state(rng, models: dict, batch: dict, optimizer,
+                     train_generator: bool = False,
+                     vgg_params: dict | None = None) -> Part1State:
+    """Initialize all module variables from a (host-shaped) example batch."""
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    ex, drv = batch["example_image"], batch["driving"]
+    v_kp = models["kp_detector"].init(k1, ex, train=True)
+    v_gen = models["generator"].init(
+        k2, ex,
+        {"value": jnp.zeros((ex.shape[0], models["generator"].num_kp, 2)),
+         "jacobian": jnp.broadcast_to(
+             jnp.eye(2), (ex.shape[0], models["generator"].num_kp, 2, 2))},
+        {"value": jnp.zeros((ex.shape[0], models["generator"].num_kp, 2)),
+         "jacobian": jnp.broadcast_to(
+             jnp.eye(2), (ex.shape[0], models["generator"].num_kp, 2, 2))},
+        train=True)
+    v_audio = models["audio_feature"].init(
+        k3, ex, batch["driving_audio"], batch["driving_pose"], train=True)
+    fmap = jnp.zeros((1, 64, 64, 35))
+    v_kpa = models["kp_detector_a"].init(k4, fmap, train=True)
+
+    trainable = {"audio_feature": v_audio["params"],
+                 "kp_detector_a": v_kpa["params"]}
+    frozen = {"kp_detector": v_kp["params"]}
+    if train_generator:
+        trainable["generator"] = v_gen["params"]
+    else:
+        frozen["generator"] = v_gen["params"]
+    if vgg_params is not None:
+        frozen["vgg"] = vgg_params
+    batch_stats = {"kp_detector": v_kp["batch_stats"],
+                   "generator": v_gen["batch_stats"],
+                   "audio_feature": v_audio["batch_stats"]}
+    return Part1State(trainable, frozen, batch_stats,
+                      optimizer.init(trainable), jnp.zeros((), jnp.int32))
+
+
+def make_part1_step(models: dict, train_params: dict,
+                    optimizer) -> Callable:
+    """Build the part1 / fine-tune step function.
+
+    train_params keys used: loss_weights{audio, perceptual, generator_gan},
+    generator ('not'|'visual'|'audio'), scales (ref:config/train_part1.yaml).
+    """
+    weights = train_params["loss_weights"]
+    gen_mode = train_params.get("generator", "not")
+    scales = tuple(train_params.get("scales", (1, 0.5, 0.25, 0.125)))
+    perceptual_w = tuple(weights.get("perceptual", ()))
+    use_perceptual = gen_mode in ("visual", "audio") and sum(perceptual_w) != 0
+    # perceptual supervision on every 4th frame (ref:modules/model.py:231,253)
+    percep_frames = (0, 4, 8, 12)
+
+    def loss_fn(trainable, frozen, batch_stats, batch):
+        params = {**frozen, **trainable}
+        B, T = batch["driving"].shape[:2]
+        driving = _fold(batch["driving"])
+
+        kp_driving = _apply_kp_detector(
+            models["kp_detector"], params["kp_detector"],
+            batch_stats["kp_detector"], driving, train=True)
+
+        deco, audio_updates = models["audio_feature"].apply(
+            {"params": params["audio_feature"],
+             "batch_stats": batch_stats["audio_feature"]},
+            batch["example_image"], batch["driving_audio"],
+            batch["driving_pose"], train=True, mutable=["batch_stats"])
+
+        kp_audio = models["kp_detector_a"].apply(
+            {"params": params["kp_detector_a"]}, _fold(deco), train=True)
+
+        metrics = L.kp_mimic_loss(kp_driving, kp_audio, weights["audio"])
+        total = sum(metrics.values())
+        new_stats = dict(batch_stats)
+        new_stats["audio_feature"] = audio_updates["batch_stats"]
+
+        if use_perceptual:
+            kp_branch = kp_audio if gen_mode == "audio" else kp_driving
+            kp_source = _apply_kp_detector(
+                models["kp_detector"], params["kp_detector"],
+                batch_stats["kp_detector"], batch["example_image"], train=True)
+
+            def frame_kp(kp, i):
+                idx = jnp.arange(B) * T + i
+                return {k: v[idx] for k, v in kp.items() if k != "heatmap"}
+
+            percep_total = 0.0
+            gen_vars = {"params": params["generator"],
+                        "batch_stats": batch_stats["generator"]}
+            vgg_apply = lambda x: models["vgg"].apply(
+                {"params": params["vgg"]}, x)
+            gen_stats = batch_stats["generator"]
+            for i in percep_frames:
+                generated, gen_updates = models["generator"].apply(
+                    {"params": params["generator"], "batch_stats": gen_stats},
+                    batch["example_image"], frame_kp(kp_branch, i), kp_source,
+                    train=True, mutable=["batch_stats"])
+                gen_stats = gen_updates["batch_stats"]
+                pyr_real = L.image_pyramid(batch["driving"][:, i], scales)
+                pyr_gen = L.image_pyramid(generated["prediction"], scales)
+                percep_total += L.perceptual_loss(
+                    vgg_apply, pyr_real, pyr_gen, scales, perceptual_w)
+            metrics["perceptual"] = percep_total / len(percep_frames)
+            total = total + metrics["perceptual"]
+            if "generator" in trainable:
+                new_stats["generator"] = gen_stats
+
+        return total, (metrics, new_stats)
+
+    def step(state: Part1State, batch: dict):
+        grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(
+            state.trainable, state.frozen, state.batch_stats, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        metrics["total"] = sum(v for k, v in metrics.items())
+        return Part1State(trainable, state.frozen, new_stats, opt_state,
+                          state.step + 1), metrics
+
+    return step
+
+
+_HEAD_BY_TYPE = {
+    # train_params['type'] -> EmotionK head name (ref:modules/model.py:335-363)
+    "linear_4": "linear",
+    "linear_4_new": "linear_4",
+    "linear_10": "linear_10",
+    "linear_np_4": "linear_np_4",
+    "linear_np_10": "linear_np_10",
+    "map": "map",
+    "map_4": "map_4",
+}
+
+
+def init_part2_state(rng, models: dict, batch: dict, optimizer,
+                     part1_state: Part1State | None = None) -> Part2State:
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    ex = batch["example_image"]
+    v_kp = models["kp_detector"].init(k1, ex, train=True)
+    v_audio = models["audio_feature"].init(
+        k2, ex, batch["driving_audio"], batch["driving_pose"], train=True)
+    v_kpa = models["kp_detector_a"].init(k3, jnp.zeros((1, 64, 64, 35)),
+                                         train=True)
+    kp0 = jnp.zeros((1, 10, 2))
+    jac0 = jnp.broadcast_to(jnp.eye(2), (1, 10, 2, 2))
+    v_emo = models["emo_detector"].init(k4, ex[:1], kp0, jac0, head="all",
+                                        train=True)
+
+    trainable = {"emo_detector": v_emo["params"]}
+    frozen = {"kp_detector": v_kp["params"],
+              "audio_feature": v_audio["params"],
+              "kp_detector_a": v_kpa["params"]}
+    if part1_state is not None:
+        frozen["kp_detector"] = part1_state.frozen["kp_detector"]
+        frozen["audio_feature"] = part1_state.trainable["audio_feature"]
+        frozen["kp_detector_a"] = part1_state.trainable["kp_detector_a"]
+    batch_stats = {"kp_detector": v_kp["batch_stats"],
+                   "audio_feature": v_audio["batch_stats"],
+                   "emo_detector": v_emo["batch_stats"]}
+    if part1_state is not None:
+        batch_stats["kp_detector"] = part1_state.batch_stats["kp_detector"]
+        batch_stats["audio_feature"] = part1_state.batch_stats["audio_feature"]
+    return Part2State(trainable, frozen, batch_stats,
+                      optimizer.init(trainable), jnp.zeros((), jnp.int32))
+
+
+def make_part2_step(models: dict, train_params: dict, optimizer) -> Callable:
+    """Part-2 step: emotion displacement training (ref:train.py:273-407)."""
+    weights = train_params["loss_weights"]
+    head = _HEAD_BY_TYPE[train_params.get("type", "linear_4")]
+    ten_kp = "10" in train_params.get("type", "linear_4")
+    classify = bool(train_params.get("classify", True))
+
+    def loss_fn(trainable, frozen, batch_stats, batch):
+        B, T = batch["driving"].shape[:2]
+        driving = _fold(batch["driving"])
+        transformed = _fold(batch["transformed_driving"])
+        labels = jnp.repeat(batch["emotion"], T)
+
+        kp_driving = _apply_kp_detector(
+            models["kp_detector"], frozen["kp_detector"],
+            batch_stats["kp_detector"], driving, train=True)
+        deco = models["audio_feature"].apply(
+            {"params": frozen["audio_feature"],
+             "batch_stats": batch_stats["audio_feature"]},
+            batch["example_image"], batch["driving_audio"],
+            batch["driving_pose"], train=True)
+        kp_audio = models["kp_detector_a"].apply(
+            {"params": frozen["kp_detector_a"]}, _fold(deco), train=True)
+
+        (kp_emo, logits), emo_updates = models["emo_detector"].apply(
+            {"params": trainable["emo_detector"],
+             "batch_stats": batch_stats["emo_detector"]},
+            transformed, jax.lax.stop_gradient(kp_audio["value"]),
+            jax.lax.stop_gradient(kp_audio["jacobian"]),
+            head=head, train=True, mutable=["batch_stats"])
+
+        metrics = L.emotion_residual_loss(
+            kp_driving, kp_audio, kp_emo, logits, labels,
+            weights["emo"], ten_kp, classify)
+        total = metrics["loss_value"] + metrics["loss_jacobian"] \
+            + metrics["loss_classify"]
+        new_stats = dict(batch_stats)
+        new_stats["emo_detector"] = emo_updates["batch_stats"]
+        return total, (metrics, new_stats)
+
+    def step(state: Part2State, batch: dict):
+        grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(
+            state.trainable, state.frozen, state.batch_stats, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        metrics["total"] = metrics["loss_value"] + metrics["loss_jacobian"] \
+            + metrics["loss_classify"]
+        return Part2State(trainable, state.frozen, new_stats, opt_state,
+                          state.step + 1), metrics
+
+    return step

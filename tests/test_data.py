@@ -1,0 +1,150 @@
+"""Data-layer tests: augmentation numerics + dataset layout readers +
+threaded loader, using synthetic on-disk fixtures."""
+import os
+
+import numpy as np
+import pytest
+
+from eamm_tpu.data.augmentation import (MouthCrop, RandomFlip, RandomRotation,
+                                        RandomPerspective, ColorJitter,
+                                        AllAugmentationTransform,
+                                        warp_homography, perspective_matrix)
+from eamm_tpu.data import (AudioDataset, MeadDataset, DatasetRepeater,
+                           DataLoader, EMOTIONS)
+
+
+def _clip(t=3, h=256, w=256, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.rand(t, h, w, 3).astype(np.float32)
+
+
+def test_warp_homography_identity():
+    img = _clip(1)[0]
+    out = warp_homography(img, np.eye(3), img.shape[:2])
+    np.testing.assert_allclose(out, img, atol=1e-6)
+
+
+def test_perspective_matrix_maps_points():
+    src = np.array([[0, 0], [0, 255], [255, 0], [255, 255]], np.float64)
+    dst = src + np.array([[3, -2], [1, 4], [-2, 2], [5, -5]])
+    M = perspective_matrix(src, dst)
+    pts = np.concatenate([src, np.ones((4, 1))], 1) @ M.T
+    pts = pts[:, :2] / pts[:, 2:3]
+    np.testing.assert_allclose(pts, dst, atol=1e-6)
+
+
+def test_mouth_crop_masks_expected_region():
+    clip = np.zeros((2, 256, 256, 3), np.float32)
+    out = MouthCrop(135, 190, 100, 60)(clip)
+    # inside the mask: noise; outside: untouched zeros
+    assert out[:, 190 - 30:190 + 30, 135 - 50:135 + 50].std() > 0.1
+    out2 = out.copy()
+    out2[:, 160:220, 85:185] = 0
+    np.testing.assert_allclose(out2, 0)
+
+
+def test_rotation_preserves_center():
+    img = _clip(1)[0]
+    out = RandomRotation((30, 30))([img])[0]
+    assert out.shape == img.shape
+    # center pixel approximately invariant under rotation about center
+    assert abs(out[128, 128].mean() - img[128, 128].mean()) < 0.5
+    # corners rotated in from outside -> zero border
+    assert out[0, 0].max() < 1e-6 or out[0, 255].max() < 1e-6
+
+
+def test_color_jitter_ranges():
+    clip = _clip(2)
+    out = ColorJitter(0.1, 0.1, 0.1, 0.1)(clip)
+    assert out.shape == clip.shape
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_full_transform_pipeline():
+    clip = _clip(2)
+    t = AllAugmentationTransform(
+        crop_mouth_param=dict(center_x=135, center_y=190, mask_width=100,
+                              mask_height=60),
+        rotation_param=dict(degrees=30),
+        perspective_param=dict(pers_num=30, enlarge_num=40),
+        flip_param=dict(horizontal_flip=True, time_flip=False),
+        jitter_param=dict(brightness=0, contrast=0, saturation=0, hue=0))
+    out = np.asarray(t(clip))
+    assert out.shape == (2, 256, 256, 3)
+    assert np.isfinite(out).all()
+
+
+# ------------------------------------------------------------ dataset fixtures
+
+def _write_png(path, rng):
+    import imageio.v2 as imageio
+    imageio.imwrite(path, (rng.rand(64, 64, 3) * 255).astype(np.uint8))
+
+
+@pytest.fixture(scope="module")
+def lrw_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("lrw")
+    rng = np.random.RandomState(0)
+    for split_img, split_audio in [("train_fo", "train")]:
+        img = root / "Image" / split_img / "WORD" / "clip0"
+        mfcc = root / "MFCC" / split_audio / "WORD" / "clip0"
+        pose = root / "pose" / split_img / "WORD"
+        img.mkdir(parents=True)
+        mfcc.mkdir(parents=True)
+        pose.mkdir(parents=True)
+        for i in range(30):
+            _write_png(str(img / f"{i}.png"), rng)
+            np.save(str(mfcc / f"{i}.npy"), rng.randn(28, 13))
+        np.save(str(pose / "clip0.npy"), rng.randn(30, 7))
+    return str(root)
+
+
+def test_audio_dataset(lrw_root):
+    ds = AudioDataset(lrw_root, augmentation_params={})
+    assert len(ds) == 1
+    s = ds[0]
+    assert s["driving"].shape == (16, 64, 64, 3)
+    assert s["driving_audio"].shape == (16, 28, 12)
+    assert s["driving_pose"].shape == (16, 6)
+    assert s["example_image"].shape == (64, 64, 3)
+
+
+@pytest.fixture(scope="module")
+def mead_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mead")
+    rng = np.random.RandomState(1)
+    for clip in ["M003/angry_001", "M003/neutral_001"]:
+        img = root / "MEAD_fomm_crop" / clip
+        img.mkdir(parents=True)
+        for i in range(30):
+            _write_png(str(img / f"{i}.png"), rng)
+        (root / "MEAD_MFCC" / clip).parent.mkdir(parents=True, exist_ok=True)
+        np.save(str(root / "MEAD_MFCC" / (clip + ".npy")),
+                rng.randn(30, 28, 13))
+        (root / "MEAD_fomm_pose_crop" / clip).parent.mkdir(parents=True,
+                                                           exist_ok=True)
+        np.save(str(root / "MEAD_fomm_pose_crop" / (clip + ".npy")),
+                rng.randn(30, 7))
+    return str(root)
+
+
+def test_mead_dataset(mead_root):
+    ds = MeadDataset(mead_root, augmentation_params=dict(
+        crop_mouth_param=dict(center_x=30, center_y=40, mask_width=10,
+                              mask_height=6)))
+    s = ds[0]
+    assert s["driving"].shape == (16, 64, 64, 3)
+    assert s["transformed_driving"].shape == (16, 64, 64, 3)
+    assert s["emotion"] == EMOTIONS.index("angry")
+    # example image comes from the *neutral* clip of the same identity
+    assert s["example_image"].shape == (64, 64, 3)
+    assert ds.emotion_label("M003/neutral_001") == EMOTIONS.index("neutral")
+
+
+def test_dataloader_batches(lrw_root):
+    ds = DatasetRepeater(AudioDataset(lrw_root, augmentation_params={}), 8)
+    loader = DataLoader(ds, batch_size=4, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["driving"].shape == (4, 16, 64, 64, 3)
+    assert batches[0]["driving_audio"].dtype == np.float32

@@ -1,0 +1,80 @@
+"""End-to-end inference pipeline test (random weights, CPU).
+
+Drives the full flow: waveform -> MFCC windows -> A2FD -> audio keypoints ->
+(emotion displacements) -> normalized kp -> chunked batched rendering.
+"""
+import numpy as np
+import pytest
+
+from eamm_tpu.infer import EammPipeline, PipelineOptions
+
+SMALL_CONFIG = {
+    "model_params": {
+        "common_params": {"num_kp": 10, "num_channels": 3,
+                          "estimate_jacobian": True},
+        "audio_params": {"num_kp": 10, "num_channels": 3, "num_channels_a": 3,
+                         "estimate_jacobian": True},
+        "kp_detector_params": {"temperature": 0.1, "block_expansion": 32,
+                               "max_features": 128, "scale_factor": 0.25,
+                               "num_blocks": 5},
+        "generator_params": {"block_expansion": 64, "max_features": 128,
+                             "num_down_blocks": 2, "num_bottleneck_blocks": 1,
+                             "estimate_occlusion_map": True,
+                             "dense_motion_params": {
+                                 "block_expansion": 32, "max_features": 128,
+                                 "num_blocks": 5, "scale_factor": 0.25}},
+        "discriminator_params": {"scales": [1], "block_expansion": 32,
+                                 "max_features": 128, "num_blocks": 4,
+                                 "sn": True},
+    },
+    "train_params": {"jaco_net": "cnn"},
+}
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    return EammPipeline.from_random(
+        SMALL_CONFIG,
+        options=PipelineOptions(frame_chunk=8, time_bucket=32))
+
+
+def _inputs(seconds=1.0, seed=0):
+    rng = np.random.RandomState(seed)
+    src = rng.rand(256, 256, 3).astype(np.float32)
+    wav = (0.1 * rng.randn(int(16000 * seconds))).astype(np.float32)
+    pose = rng.randn(1, 7).astype(np.float32)
+    emo_frames = rng.rand(5, 256, 256, 3).astype(np.float32)
+    return src, wav, pose, emo_frames
+
+
+def test_neutral_render(pipeline):
+    src, wav, pose, _ = _inputs()
+    frames = pipeline.render(src, wav, pose, add_emo=False)
+    assert frames.ndim == 4 and frames.shape[1:] == (256, 256, 3)
+    assert 20 <= frames.shape[0] <= 30          # ~25 fps for 1 s
+    assert np.all(np.isfinite(frames))
+    assert frames.min() >= 0.0 and frames.max() <= 1.0
+
+
+def test_emotional_render(pipeline):
+    src, wav, pose, emo_frames = _inputs(seed=1)
+    frames = pipeline.render(src, wav, pose, transformed_video=emo_frames,
+                             add_emo=True)
+    assert frames.shape[1:] == (256, 256, 3)
+    assert np.all(np.isfinite(frames))
+
+
+def test_emotion_requires_frames(pipeline):
+    src, wav, pose, _ = _inputs(seed=2)
+    with pytest.raises(ValueError):
+        pipeline.render(src, wav, pose, add_emo=True)
+
+
+def test_relative_mode(pipeline):
+    src, wav, pose, _ = _inputs(seed=3)
+    pipeline.options.relative = True
+    try:
+        frames = pipeline.render(src, wav, pose, add_emo=False)
+    finally:
+        pipeline.options.relative = False
+    assert np.all(np.isfinite(frames))

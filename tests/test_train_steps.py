@@ -1,0 +1,111 @@
+"""Training-step tests on a virtual CPU mesh.
+
+Covers what the reference never had (SURVEY.md §4): the train step runs
+sharded over multiple devices, loss decreases, and the sharded result
+matches the single-device result (i.e. batch-stat/grad reductions are
+global — the SyncBN-equivalence property).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eamm_tpu.models import (KPDetector, KPDetectorA, OcclusionAwareGenerator,
+                             ATNet, EmotionK)
+from eamm_tpu.parallel import make_mesh, host_cpu_mesh, shard_batch, replicated
+from eamm_tpu.train import (make_optimizer, make_part1_step, init_part1_state,
+                            make_part2_step, init_part2_state)
+
+B, T = 2, 2
+
+
+def small_models():
+    return {
+        "kp_detector": KPDetector(num_kp=10, block_expansion=32,
+                                  max_features=128, num_blocks=5),
+        "kp_detector_a": KPDetectorA(num_kp=10),
+        "audio_feature": ATNet(),
+        "generator": OcclusionAwareGenerator(
+            num_down_blocks=2, num_bottleneck_blocks=1, max_features=128,
+            dense_motion_params=dict(block_expansion=32, max_features=128,
+                                     num_blocks=5, scale_factor=0.25)),
+        "emo_detector": EmotionK(block_expansion=32, max_features=128,
+                                 num_blocks=5),
+    }
+
+
+def part1_batch(seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "example_image": rng.rand(B, 256, 256, 3).astype(np.float32),
+        "driving": rng.rand(B, T, 256, 256, 3).astype(np.float32),
+        "driving_audio": rng.randn(B, T, 28, 12).astype(np.float32),
+        "driving_pose": rng.randn(B, T, 6).astype(np.float32),
+    }
+
+
+TRAIN_PARAMS = {
+    "loss_weights": {"audio": 10, "emo": 10, "perceptual": [0, 0, 0, 0, 0],
+                     "generator_gan": 0},
+    "generator": "not",
+    "scales": [1],
+    "type": "linear_4",
+    "classify": True,
+}
+
+
+def test_part1_step_runs_and_learns():
+    models = small_models()
+    opt = make_optimizer(lr=1e-3)
+    batch = jax.tree.map(jnp.asarray, part1_batch())
+    state = init_part1_state(jax.random.PRNGKey(0), models, batch, opt)
+    step = jax.jit(make_part1_step(models, TRAIN_PARAMS, opt))
+
+    values = []
+    for _ in range(10):
+        state, m = step(state, batch)
+        values.append(float(m["loss_value"]))
+    assert np.isfinite(float(m["total"]))
+    # same batch re-fed: the kp value-mimic loss must trend down
+    assert np.mean(values[-3:]) < values[0]
+    assert int(state.step) == 10
+
+
+def test_part1_step_sharded_matches_single_device():
+    models = small_models()
+    opt = make_optimizer(lr=1e-3)
+    batch_host = part1_batch(1)
+    batch1 = jax.tree.map(jnp.asarray, batch_host)
+    state = init_part1_state(jax.random.PRNGKey(0), models, batch1, opt)
+    step = make_part1_step(models, TRAIN_PARAMS, opt)
+
+    _, m_single = jax.jit(step)(state, batch1)
+
+    mesh = host_cpu_mesh(2)
+    with mesh:
+        batch2 = shard_batch(batch_host, mesh)
+        state_r = jax.device_put(state, replicated(mesh))
+        _, m_sharded = jax.jit(step)(state_r, batch2)
+
+    for k in m_single:
+        np.testing.assert_allclose(float(m_sharded[k]), float(m_single[k]),
+                                   rtol=2e-3, atol=1e-5, err_msg=k)
+
+
+def test_part2_step_runs_and_learns():
+    models = small_models()
+    opt = make_optimizer(lr=1e-3)
+    rng = np.random.RandomState(2)
+    batch = jax.tree.map(jnp.asarray, {
+        **part1_batch(2),
+        "transformed_driving": rng.rand(B, T, 256, 256, 3).astype(np.float32),
+        "emotion": rng.randint(0, 8, size=(B,)).astype(np.int32),
+    })
+    state = init_part2_state(jax.random.PRNGKey(1), models, batch, opt)
+    step = jax.jit(make_part2_step(models, TRAIN_PARAMS, opt))
+    values = []
+    for _ in range(10):
+        state, m = step(state, batch)
+        values.append(float(m["total"]))
+    assert np.isfinite(float(m["total"]))
+    assert np.mean(values[-3:]) < values[0]
