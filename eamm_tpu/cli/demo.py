@@ -1,0 +1,180 @@
+"""Inference CLI — flag-compatible with the reference demo
+(ref:demo.py:524-561).
+
+    python -m eamm_tpu.cli.demo --config ... --checkpoint fomm.pth.tar \
+        --audio_checkpoint audio.pth.tar --emo_checkpoint emo.pth.tar \
+        --source_image img.png --driving_video emo.mp4 \
+        --pose_file pose.npy --in_file audio.wav --emotion happy
+
+Outputs neutral.mp4, emotion.mp4 and the three-panel all.mp4 into
+--result_path (falls back to PNG frames + .npy when no mp4 writer is
+available in the environment).
+"""
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+
+import numpy as np
+
+
+def _str2bool(v):
+    return str(v).lower() not in ("false", "0", "none", "")
+
+
+def build_parser() -> ArgumentParser:
+    parser = ArgumentParser(description=__doc__)
+    parser.add_argument("--config", required=True, help="path to config yaml")
+    parser.add_argument("--checkpoint", required=True,
+                        help="FOMM (generator+kp_detector) torch checkpoint")
+    parser.add_argument("--audio_checkpoint", required=True,
+                        help="audio (audio_feature+kp_detector_a) checkpoint")
+    parser.add_argument("--emo_checkpoint", required=True,
+                        help="emotion displacement checkpoint")
+    parser.add_argument("--source_image", required=True)
+    parser.add_argument("--driving_video", default=None,
+                        help="emotion-source video (required for --add_emo)")
+    parser.add_argument("--in_file", required=True, help="driving audio")
+    parser.add_argument("--pose_file", required=True, help="[N,7] pose npy")
+    parser.add_argument("--pose_given", default=None,
+                        help="long pose trajectory npy for --pose_long")
+    parser.add_argument("--result_path", default="result/")
+    parser.add_argument("--relative", action="store_true")
+    parser.add_argument("--adapt_scale", action="store_true")
+    parser.add_argument("--smooth_pose", type=_str2bool, default=True)
+    parser.add_argument("--pose_long", type=_str2bool, default=False)
+    parser.add_argument("--add_emo", type=_str2bool, default=True)
+    parser.add_argument("--check_add", type=_str2bool, default=False)
+    parser.add_argument("--type", default="linear_3", dest="emo_type")
+    parser.add_argument("--emotion", default="disgusted",
+                        choices=["angry", "contempt", "disgusted", "fear",
+                                 "happy", "neutral", "sad", "surprised"])
+    parser.add_argument("--weight", type=float, default=1.6,
+                        help="audio feature exaggeration (ref hardcodes 1.6)")
+    parser.add_argument("--no_crop", action="store_true",
+                        help="source image is already aligned to 256x256")
+    parser.add_argument("--cpu", action="store_true")
+    return parser
+
+
+def smooth_pose_graft(pose_file: str, pose_long: str) -> np.ndarray:
+    """Graft a long pose trajectory onto the source's start pose
+    (ref:demo.py:456-465)."""
+    start = np.load(pose_file).reshape(-1, 7)
+    video_pose = np.load(pose_long).reshape(-1, 7)
+    delta = video_pose - video_pose[0:1]
+    return np.repeat(start[:1], len(delta), axis=0) + delta
+
+
+def read_video(path: str) -> np.ndarray:
+    import imageio.v2 as imageio
+    reader = imageio.get_reader(path)
+    frames = []
+    try:
+        for frame in reader:
+            frames.append(np.asarray(frame, np.float32) / 255.0)
+    except (RuntimeError, IndexError):
+        pass
+    reader.close()
+    return np.array(frames)[..., :3]
+
+
+def write_video(path: str, frames_uint8: np.ndarray, fps: float = 25.0):
+    try:
+        import imageio.v2 as imageio
+        imageio.mimsave(path, list(frames_uint8), fps=fps)
+        return path
+    except Exception:
+        # no mp4 backend: dump PNG frames + raw npy
+        stem = os.path.splitext(path)[0]
+        os.makedirs(stem, exist_ok=True)
+        np.save(stem + ".npy", frames_uint8)
+        import imageio.v2 as imageio
+        for i, frame in enumerate(frames_uint8):
+            imageio.imwrite(os.path.join(stem, f"{i}.png"), frame)
+        return stem
+
+
+def add_audio(video_path: str, audio_path: str):
+    """ffmpeg remux (ref:demo.py:427-431); silently skipped without ffmpeg."""
+    import shutil
+    import subprocess
+    if shutil.which("ffmpeg") is None or not os.path.exists(video_path):
+        return
+    out = video_path.replace(".mp4", ".mov")
+    subprocess.run(["ffmpeg", "-i", video_path, "-i", audio_path, "-vcodec",
+                    "copy", "-acodec", "copy", "-y", out], check=False)
+
+
+def main(argv=None):
+    opt = build_parser().parse_args(argv)
+
+    from eamm_tpu.config import load_config
+    from eamm_tpu.data.preprocess import crop_image, align_clip, load_audio
+    from eamm_tpu.data.augmentation import AllAugmentationTransform
+    from eamm_tpu.infer import EammPipeline, PipelineOptions
+
+    config = load_config(opt.config)
+    options = PipelineOptions(relative=opt.relative,
+                              adapt_scale=opt.adapt_scale,
+                              add_emo=opt.add_emo, emo_type=opt.emo_type,
+                              audio_weight=opt.weight,
+                              smooth_pose=opt.smooth_pose)
+    pipe = EammPipeline.from_torch_checkpoints(
+        config, opt.checkpoint, opt.audio_checkpoint, opt.emo_checkpoint,
+        options)
+
+    # ---- inputs
+    import imageio.v2 as imageio
+    src = np.asarray(imageio.imread(opt.source_image), np.float32) / 255.0
+    src = src[..., :3]
+    if not opt.no_crop:
+        src = crop_image(src)
+    if src.shape[:2] != (256, 256):
+        raise SystemExit("source image must be 256x256 (use alignment crop)")
+
+    all_pose = np.load(opt.pose_file).reshape(-1, 7)
+    if opt.pose_long:
+        all_pose = smooth_pose_graft(opt.pose_file, opt.pose_given)
+
+    waveform = load_audio(opt.in_file)
+
+    transformed = None
+    driving = None
+    if opt.add_emo:
+        if not opt.driving_video:
+            raise SystemExit("--add_emo requires --driving_video")
+        driving = read_video(opt.driving_video)
+        shift = (0, 10) if opt.emotion in ("surprised", "fear") else (0, 0)
+        driving = align_clip(driving, shift=shift)
+        aug = AllAugmentationTransform(
+            **config["dataset_params"]["augmentation_params"])
+        transformed = np.asarray(aug(driving))
+
+    os.makedirs(opt.result_path, exist_ok=True)
+
+    # ---- neutral + emotional passes (ref:demo.py:504-514)
+    neutral = pipe.render_uint8(src, waveform, all_pose, add_emo=False)
+    write_video(os.path.join(opt.result_path, "neutral.mp4"), neutral)
+    outputs = {"neutral": neutral}
+    if opt.add_emo:
+        emotion = pipe.render_uint8(src, waveform, all_pose,
+                                    transformed_video=transformed,
+                                    add_emo=True)
+        path = write_video(os.path.join(opt.result_path, "emotion.mp4"),
+                           emotion)
+        add_audio(os.path.join(opt.result_path, "emotion.mp4"), opt.in_file)
+        outputs["emotion"] = emotion
+        T = len(emotion)
+        drv = np.resize(driving, (T,) + driving.shape[1:])
+        drv8 = np.clip(np.round(drv * 255), 0, 255).astype(np.uint8)
+        allv = np.concatenate([drv8, np.resize(neutral, emotion.shape),
+                               emotion], axis=2)
+        write_video(os.path.join(opt.result_path, "all.mp4"), allv)
+        add_audio(os.path.join(opt.result_path, "all.mp4"), opt.in_file)
+    print({k: v.shape for k, v in outputs.items()})
+    return outputs
+
+
+if __name__ == "__main__":
+    main()

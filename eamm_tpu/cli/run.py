@@ -1,0 +1,59 @@
+"""Training CLI — flag-compatible with the reference runner
+(ref:run.py:28-40; the reference file itself cannot run, SURVEY.md §5.1 —
+this one can).
+
+    python -m eamm_tpu.cli.run --config config/train_part1.yaml \
+        --mode train_part1 --log_dir log/
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from argparse import ArgumentParser
+
+
+def build_parser() -> ArgumentParser:
+    parser = ArgumentParser(description=__doc__)
+    parser.add_argument("--config", required=True, help="path to config")
+    parser.add_argument("--mode", default="train_part1",
+                        choices=["train_part1", "train_part1_fine_tune",
+                                 "train_part2"])
+    parser.add_argument("--log_dir", default="log", help="log directory")
+    parser.add_argument("--checkpoint", default=None,
+                        help="'latest' or path to resume from")
+    parser.add_argument("--max_steps", type=int, default=None,
+                        help="stop after N optimizer steps (smoke runs)")
+    parser.add_argument("--seed", type=int, default=0)
+    # accepted for reference-CLI parity; the mesh uses all visible devices
+    parser.add_argument("--device_ids", default="0", type=str)
+    parser.add_argument("--verbose", action="store_true")
+    return parser
+
+
+def main(argv=None):
+    opt = build_parser().parse_args(argv)
+    from eamm_tpu.config import load_config
+    from eamm_tpu.train.loop import train
+
+    config = load_config(opt.config)
+
+    # timestamped log dir with the config copied in for provenance
+    # (ref:run.py:47-56)
+    if opt.checkpoint is not None and os.path.isdir(str(opt.checkpoint)):
+        log_dir = os.path.dirname(os.path.abspath(opt.checkpoint))
+    else:
+        base = os.path.basename(opt.config).split(".")[0]
+        stamp = time.strftime("%d_%m_%y_%H.%M.%S")
+        log_dir = os.path.join(opt.log_dir, f"{base} {stamp}")
+    os.makedirs(log_dir, exist_ok=True)
+    shutil.copy(opt.config, os.path.join(log_dir,
+                                         os.path.basename(opt.config)))
+
+    print(f"mode={opt.mode} log_dir={log_dir}")
+    return train(config, opt.mode, log_dir, checkpoint=opt.checkpoint,
+                 max_steps=opt.max_steps, seed=opt.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -84,26 +84,28 @@ class ConvTranspose(nn.Module):
     converter flips/transposes on import).
     """
     features: int
-    kernel: int
+    kernel: int | tuple[int, int]
     stride: int = 2
-    padding: int = 1
+    padding: int | tuple[int, int] = 1
     use_bias: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        k, s, p = self.kernel, self.stride, self.padding
+        k = (self.kernel,) * 2 if isinstance(self.kernel, int) else self.kernel
+        p = (self.padding,) * 2 if isinstance(self.padding, int) else self.padding
+        s = self.stride
         in_ch = x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform",
                                              in_axis=3, out_axis=2),
-            (k, k, in_ch, self.features))
-        pad = k - 1 - p
+            (k[0], k[1], in_ch, self.features))
         dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
                                             ("NHWC", "HWIO", "NHWC"))
         out = jax.lax.conv_general_dilated(
             x, kernel, window_strides=(1, 1),
-            padding=[(pad, pad), (pad, pad)],
+            padding=[(k[0] - 1 - p[0], k[0] - 1 - p[0]),
+                     (k[1] - 1 - p[1], k[1] - 1 - p[1])],
             lhs_dilation=(s, s), dimension_numbers=dn)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))

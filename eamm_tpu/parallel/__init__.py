@@ -1,2 +1,3 @@
-from eamm_tpu.parallel.mesh import (make_mesh, batch_sharding, replicated,
+from eamm_tpu.parallel.mesh import (make_mesh, make_mesh_for_batch,
+                                    batch_sharding, replicated,
                                     shard_batch, host_cpu_mesh)

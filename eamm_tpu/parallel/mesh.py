@@ -40,6 +40,17 @@ def host_cpu_mesh(n_devices: int, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(cpus[:n_devices]), (axis_name,))
 
 
+def make_mesh_for_batch(batch_size: int, devices=None,
+                        axis_name: str = "data") -> Mesh:
+    """1-D mesh over the largest device prefix that divides batch_size."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]), (axis_name,))
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard leading (batch) axis across the mesh."""
     return NamedSharding(mesh, P(axis_name))

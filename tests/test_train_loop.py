@@ -1,0 +1,126 @@
+"""End-to-end training orchestration test: synthetic LRW-layout dataset on
+disk -> CLI-style train() for two optimizer steps -> log + scalars +
+checkpoint artifacts; checkpoint restore roundtrip; visualizer grid."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from eamm_tpu.train.loop import train
+from eamm_tpu.train.checkpoint import CheckpointManager, state_to_tree
+from eamm_tpu.train.logging import MetricsLogger, read_scalars
+from eamm_tpu.train.visualizer import Visualizer, draw_kp
+
+SMALL_CONFIG = {
+    "dataset_params": {
+        "name": "LRW", "root_dir": None, "frame_shape": [256, 256, 3],
+        "id_sampling": False, "augmentation_params": {},
+    },
+    "model_params": {
+        "common_params": {"num_kp": 10, "num_channels": 3,
+                          "estimate_jacobian": True},
+        "audio_params": {"num_kp": 10, "num_channels": 3, "num_channels_a": 3,
+                         "estimate_jacobian": True},
+        "kp_detector_params": {"temperature": 0.1, "block_expansion": 16,
+                               "max_features": 64, "scale_factor": 0.25,
+                               "num_blocks": 5},
+        "generator_params": {"block_expansion": 16, "max_features": 64,
+                             "num_down_blocks": 2, "num_bottleneck_blocks": 1,
+                             "estimate_occlusion_map": True,
+                             "dense_motion_params": {
+                                 "block_expansion": 16, "max_features": 64,
+                                 "num_blocks": 5, "scale_factor": 0.25}},
+        "discriminator_params": {"scales": [1], "block_expansion": 16,
+                                 "max_features": 64, "num_blocks": 4,
+                                 "sn": True},
+    },
+    "train_params": {
+        "jaco_net": "cnn", "generator": "not", "num_epochs": 1,
+        "num_repeats": 4, "epoch_milestones": [60, 90],
+        "lr_audio_feature": 2.0e-4, "batch_size": 2, "scales": [1],
+        "checkpoint_freq": 1,
+        "loss_weights": {"generator_gan": 0, "discriminator_gan": 0,
+                         "feature_matching": [10, 10, 10, 10],
+                         "perceptual": [0, 0, 0, 0, 0],
+                         "equivariance_value": 0, "equivariance_jacobian": 0,
+                         "audio": 10},
+    },
+    "visualizer_params": {"kp_size": 5, "draw_border": True,
+                          "colormap": "gist_rainbow"},
+}
+
+
+@pytest.fixture(scope="module")
+def lrw_root(tmp_path_factory):
+    import imageio.v2 as imageio
+    root = tmp_path_factory.mktemp("lrw256")
+    rng = np.random.RandomState(0)
+    for clip in ["A/c0", "A/c1"]:
+        img = root / "Image" / "train_fo" / clip
+        mfcc = root / "MFCC" / "train" / clip
+        img.mkdir(parents=True)
+        mfcc.mkdir(parents=True)
+        pose_dir = root / "pose" / "train_fo" / clip.split("/")[0]
+        pose_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(30):
+            imageio.imwrite(str(img / f"{i}.png"),
+                            (rng.rand(256, 256, 3) * 255).astype(np.uint8))
+            np.save(str(mfcc / f"{i}.npy"), rng.randn(28, 13))
+        np.save(str(pose_dir / f"{clip.split('/')[1]}.npy"), rng.randn(30, 7))
+    return str(root)
+
+
+def test_train_loop_part1(lrw_root, tmp_path):
+    cfg = json.loads(json.dumps(SMALL_CONFIG))
+    cfg["dataset_params"]["root_dir"] = lrw_root
+    log_dir = str(tmp_path / "log")
+    state = train(cfg, "train_part1", log_dir, max_steps=2)
+    assert int(state.step) == 2
+    # artifacts: averaged log line + scalars + checkpoint
+    assert os.path.exists(os.path.join(log_dir, "log.txt"))
+    scalars = read_scalars(os.path.join(log_dir, "scalars.jsonl"))
+    assert any(k.endswith("loss_value") for k in scalars)
+    mgr = CheckpointManager(os.path.join(log_dir, "checkpoints"))
+    assert mgr.latest_step() == 2
+    restored = mgr.restore(like=state)
+    assert restored is not None
+    r = restored["trainable"]["kp_detector_a"]
+    np.testing.assert_allclose(
+        np.asarray(state.trainable["kp_detector_a"]["head"]["kp"]["bias"]),
+        np.asarray(r["head"]["kp"]["bias"]))
+
+
+def test_visualizer_grid():
+    rng = np.random.RandomState(0)
+    out = {
+        "kp_source": {"value": rng.uniform(-1, 1, (1, 10, 2))},
+        "kp_driving": {"value": rng.uniform(-1, 1, (1, 10, 2))},
+        "prediction": rng.rand(1, 64, 64, 3),
+        "deformed": rng.rand(1, 64, 64, 3),
+        "occlusion_map": rng.rand(1, 16, 16, 1),
+        "sparse_deformed": rng.rand(1, 11, 16, 16, 3),
+        "mask": rng.rand(1, 16, 16, 11),
+    }
+    viz = Visualizer()
+    grid = viz.visualize(rng.rand(1, 64, 64, 3), rng.rand(1, 64, 64, 3), out)
+    assert grid.ndim == 3 and grid.shape[-1] == 3
+    assert grid.min() >= 0 and grid.max() <= 1
+
+
+def test_draw_kp_marks_pixels():
+    img = np.zeros((64, 64, 3))
+    out = draw_kp(img, np.array([[0.0, 0.0]]), kp_size=3)
+    assert out[31, 31].max() > 0   # center dot drawn
+
+
+def test_metrics_logger(tmp_path):
+    lg = MetricsLogger(str(tmp_path))
+    lg.log_iter({"a": 1.0, "b": 2.0})
+    lg.log_iter({"a": 3.0, "b": 4.0})
+    lg.write_scalars(1, {"a": 1.0})
+    lg.log_epoch(0)
+    text = open(lg.log_path).read()
+    assert "a - 2.0" in text
+    scalars = read_scalars(lg.scalar_path)
+    assert "train/a" in scalars
