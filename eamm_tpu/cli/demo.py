@@ -119,7 +119,8 @@ def main(argv=None):
                               adapt_scale=opt.adapt_scale,
                               add_emo=opt.add_emo, emo_type=opt.emo_type,
                               audio_weight=opt.weight,
-                              smooth_pose=opt.smooth_pose)
+                              smooth_pose=opt.smooth_pose,
+                              check_add=opt.check_add)
     pipe = EammPipeline.from_torch_checkpoints(
         config, opt.checkpoint, opt.audio_checkpoint, opt.emo_checkpoint,
         options)

@@ -41,6 +41,26 @@ EMOTIONS = ("angry", "contempt", "disgusted", "fear", "happy", "neutral",
             "sad", "surprised")
 
 
+def _png_size(path: str) -> tuple[int, int]:
+    """(h, w) from the PNG IHDR without decoding."""
+    with open(path, "rb") as f:
+        head = f.read(24)
+    w = int.from_bytes(head[16:20], "big")
+    h = int.from_bytes(head[20:24], "big")
+    return h, w
+
+
+def _read_frames(paths: list[str], hw=None) -> np.ndarray:
+    """Window frame decode through the native C++ batch decoder when
+    available (libpng + worker threads), imageio otherwise.  hw=None decodes
+    at the files' native resolution (reference semantics: clips are
+    pre-cropped, never resized at load time)."""
+    from eamm_tpu.data import native
+    if hw is None:
+        hw = _png_size(paths[0])
+    return native.decode_batch(paths, hw[0], hw[1])
+
+
 def _imread_float(path: str) -> np.ndarray:
     import imageio.v2 as imageio
     img = np.asarray(imageio.imread(path))
@@ -83,6 +103,7 @@ class AudioDataset:
         else:
             self.videos = _discover_clips(self.image_dir)
         self.is_train = is_train
+        self.frame_hw = tuple(frame_shape[:2])
         self.transform = (AllAugmentationTransform(**(augmentation_params or {}))
                           if is_train else None)
 
@@ -95,16 +116,17 @@ class AudioDataset:
         audio_path = os.path.join(self.audio_dir, name)
         # window start r in [3, 7] (ref:frames_dataset.py:152)
         r = random.choice(range(3, 8))
-        example_image = _imread_float(os.path.join(path, f"{r}.png"))
         pose_all = np.load(os.path.join(self.pose_dir, name + ".npy"))
 
-        mfccs, poses, frames = [], [], []
+        mfccs, poses = [], []
         for ind in range(1, 17):
             mfccs.append(np.load(os.path.join(audio_path, f"{r + ind}.npy"),
                                  allow_pickle=True)[:, 1:])
             poses.append(pose_all[r + ind, :-1])
-            frames.append(_imread_float(os.path.join(path, f"{r + ind}.png")))
-        video_array = np.array(frames)
+        decoded = _read_frames(
+            [os.path.join(path, f"{r + ind}.png") for ind in range(0, 17)],
+            hw=None)
+        example_image, video_array = decoded[0], decoded[1:]
         if self.transform is not None:
             video_array = np.asarray(self.transform(video_array))
         return {
@@ -133,6 +155,7 @@ class VoxDataset:
         else:
             self.videos = _discover_clips(self.image_dir)
         self.is_train = is_train
+        self.frame_hw = tuple(frame_shape[:2])
         self.transform = (AllAugmentationTransform(**(augmentation_params or {}))
                           if is_train else None)
 
@@ -151,13 +174,14 @@ class VoxDataset:
         mfcc = np.load(os.path.join(self.audio_dir, name + ".npy"))
         pose = np.load(os.path.join(self.pose_dir, name + ".npy"))
         r = self._window_start(len(mfcc))
-        example_image = _imread_float(os.path.join(path, f"{r}.png"))
-        mfccs, poses, frames = [], [], []
+        mfccs, poses = [], []
         for ind in range(1, 17):
             mfccs.append(mfcc[r + ind][:, 1:])
             poses.append(pose[r + ind, :-1])
-            frames.append(_imread_float(os.path.join(path, f"{r + ind}.png")))
-        video_array = np.array(frames)
+        decoded = _read_frames(
+            [os.path.join(path, f"{r + ind}.png") for ind in range(0, 17)],
+            hw=None)
+        example_image, video_array = decoded[0], decoded[1:]
         if self.transform is not None:
             video_array = np.asarray(self.transform(video_array))
         return {
@@ -195,6 +219,7 @@ class MeadDataset:
         else:
             self.neutral = dict(neutral_dict)
         self.is_train = is_train
+        self.frame_hw = tuple(frame_shape[:2])
         self.transform = AllAugmentationTransform(**(augmentation_params or {}))
 
     def _build_neutral_dict(self):
@@ -232,17 +257,18 @@ class MeadDataset:
                                           mincutoff=0.01, beta=0.7, freq=100))
 
         neu_frames = sorted(os.listdir(neu_path))
-        example_image = _imread_float(
-            os.path.join(neu_path, str(np.random.choice(neu_frames))))
+        neu_file = os.path.join(neu_path, str(np.random.choice(neu_frames)))
 
         n = len(mfcc)
         r = 0 if 16 < n < 24 else random.choice(range(3, n - 20))
-        mfccs, poses, frames = [], [], []
+        mfccs, poses = [], []
         for ind in range(1, 17):
             mfccs.append(mfcc[r + ind][:, 1:])
             poses.append(pose[r + ind, :-1])
-            frames.append(_imread_float(os.path.join(path, f"{r + ind}.png")))
-        video_array = np.array(frames)
+        decoded = _read_frames(
+            [neu_file] + [os.path.join(path, f"{r + ind}.png")
+                          for ind in range(1, 17)], hw=None)
+        example_image, video_array = decoded[0], decoded[1:]
         transformed = np.asarray(self.transform(np.array(video_array)))
         return {
             "example_image": example_image.astype(np.float32),

@@ -47,6 +47,8 @@ class PipelineOptions:
     frame_chunk: int = 16             # frames per render dispatch
     time_bucket: int = 32             # clip-length padding granularity
     compute_dtype: Any = jnp.float32  # bfloat16 for speed on TPU
+    pallas_warp: bool = False         # VMEM-resident warp kernel (TPU only)
+    check_add: bool = False           # freeze audio kp at frame 0 (ref:demo.py:253-254)
 
 
 _EMO_HEAD = {"linear_3": "linear", "linear_4": "linear_4",
@@ -170,6 +172,11 @@ class EammPipeline:
         dt = o.compute_dtype
         kp_source, kp_audio, kp_initial, _ = self._audio_kp_stage_impl(
             variables, source_image, mfcc_windows, pose)
+        if o.check_add:
+            # diagnostic mode: audio kp frozen at the (unsmoothed) first
+            # frame, only the emotion displacement animates
+            kp_audio = {k: jnp.broadcast_to(kp_initial[k][:1], v.shape)
+                        for k, v in kp_audio.items()}
         if add_emo:
             emo = self._emotion_stage_impl(
                 variables, transformed_frames,
@@ -207,7 +214,8 @@ class EammPipeline:
                     for k, v in kp_s.items()}
             out = gen.apply(gvars, srcF, featF,
                             {"value": val, "jacobian": jac}, kpsF,
-                            method=gen.decode, want_aux=False)
+                            method=gen.decode, want_aux=False,
+                            shared_source=o.pallas_warp)
             pred = out["prediction"].astype(jnp.float32)
             return jnp.clip(jnp.round(pred * 255.0), 0, 255).astype(jnp.uint8)
 

@@ -30,7 +30,11 @@ class DenseMotionNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, source_image: jnp.ndarray, kp_driving: dict,
-                 kp_source: dict, train: bool = False) -> dict:
+                 kp_source: dict, train: bool = False,
+                 shared_source: bool = False) -> dict:
+        """shared_source=True asserts every batch element warps the SAME
+        source image (the batched-clip inference case) and routes the K+1
+        deformed copies through the Pallas VMEM-resident warp kernel."""
         src = antialias_downsample(source_image, self.scale_factor)
         B, h, w, C = src.shape
         K = self.num_kp
@@ -47,9 +51,14 @@ class DenseMotionNetwork(nn.Module):
         motions = sparse_motions((h, w), kp_driving["value"], kp_source["value"],
                                  kp_driving.get("jacobian"),
                                  kp_source.get("jacobian"))
-        src_rep = jnp.broadcast_to(src[:, None], (B, K + 1, h, w, C))
-        deformed = grid_sample(src_rep.reshape(B * (K + 1), h, w, C),
-                               motions.reshape(B * (K + 1), h, w, 2))
+        if shared_source:
+            from eamm_tpu.ops.warp_pallas import grid_sample_shared
+            deformed = grid_sample_shared(
+                src[0], motions.reshape(B * (K + 1), h, w, 2))
+        else:
+            src_rep = jnp.broadcast_to(src[:, None], (B, K + 1, h, w, C))
+            deformed = grid_sample(src_rep.reshape(B * (K + 1), h, w, C),
+                                   motions.reshape(B * (K + 1), h, w, 2))
         deformed = deformed.reshape(B, K + 1, h, w, C)
 
         out = {"sparse_deformed": deformed}

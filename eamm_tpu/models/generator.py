@@ -71,20 +71,24 @@ class OcclusionAwareGenerator(nn.Module):
 
     def decode(self, source_image: jnp.ndarray, source_features: jnp.ndarray,
                kp_driving: dict, kp_source: dict, train: bool = False,
-               want_aux: bool = True) -> dict:
+               want_aux: bool = True, shared_source: bool = False) -> dict:
         """Per-frame motion + rendering given precomputed source features.
 
         want_aux=False skips the diagnostic outputs (mask, sparse_deformed
         and the full-resolution ``deformed`` source warp) — they are only
         consumed by training visualisation, and the 256^2 warp is pure
         overhead in the inference hot path.
+
+        shared_source=True routes the warps through the Pallas VMEM-resident
+        kernel (valid when all batch elements share one source image, i.e.
+        batched clip rendering).
         """
         output = {}
         out = source_features
         if self.dense_motion_network is not None:
             dense_motion = self.dense_motion_network(
                 source_image, kp_driving=kp_driving, kp_source=kp_source,
-                train=train)
+                train=train, shared_source=shared_source)
             occlusion_map = dense_motion.get("occlusion_map")
             if want_aux:
                 output["mask"] = dense_motion["mask"]
@@ -92,7 +96,11 @@ class OcclusionAwareGenerator(nn.Module):
                 if occlusion_map is not None:
                     output["occlusion_map"] = occlusion_map
             deformation = dense_motion["deformation"]
-            out = _deform(out, deformation)
+            if shared_source:
+                from eamm_tpu.ops.warp_pallas import grid_sample_shared
+                out = grid_sample_shared(out[0], deformation)
+            else:
+                out = _deform(out, deformation)
             if occlusion_map is not None:
                 if out.shape[1:3] != occlusion_map.shape[1:3]:
                     occlusion_map = resize_bilinear(occlusion_map, out.shape[1:3])

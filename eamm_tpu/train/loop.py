@@ -98,6 +98,18 @@ def train(config: dict, mode: str, log_dir: str, checkpoint: str | None = None,
         if restored is not None:
             state = type(state)(**restored)
 
+    # Per-epoch held-out evaluation (ref:train.py:116-129): same loss, no
+    # update — run the step on eval batches and discard the returned state.
+    eval_loader = None
+    try:
+        eval_dataset = build_dataset(config, is_train=False)
+        if len(eval_dataset) > 0:
+            eval_loader = DataLoader(eval_dataset,
+                                     batch_size=tp["batch_size"],
+                                     shuffle=False, seed=seed)
+    except (FileNotFoundError, OSError):
+        pass
+    eval_step = jax.jit(step_fn)
     step_fn = jax.jit(step_fn, donate_argnums=0)
     checkpoint_freq = tp.get("checkpoint_freq", 1)
     save_every_steps = {"train_part1": 500, "train_part1_fine_tune": 500,
@@ -121,5 +133,15 @@ def train(config: dict, mode: str, log_dir: str, checkpoint: str | None = None,
                     ckpt.save(int(state.step), state)
                     return state
             logger.log_epoch(epoch)
+            if eval_loader is not None:
+                eval_metrics = []
+                for batch_host in eval_loader:
+                    batch = shard_batch(batch_host, mesh)
+                    _, m = eval_step(state, batch)
+                    eval_metrics.append({k: float(v) for k, v in m.items()})
+                if eval_metrics:
+                    mean = {k: float(np.mean([m[k] for m in eval_metrics]))
+                            for k in eval_metrics[0]}
+                    logger.write_scalars(int(state.step), mean, prefix="eval")
     ckpt.save(int(state.step), state)
     return state

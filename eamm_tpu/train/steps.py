@@ -181,6 +181,80 @@ def make_part1_step(models: dict, train_params: dict,
     return step
 
 
+def make_discriminator_step(models: dict, train_params: dict,
+                            optimizer) -> Callable:
+    """LSGAN discriminator step (ref:modules/model.py:557-591,
+    ref:train.py discriminator optimizer).  The shipped configs set
+    ``discriminator_gan: 0`` so this is off by default, but the component
+    is first-class for GAN fine-tuning.
+
+    State: NamedTuple-free — ``(disc_params, disc_stats, opt_state)``.
+    ``generated`` is a dict with 'prediction' and 'kp_driving'.
+    """
+    weights = train_params["loss_weights"]
+    scales = tuple(models["discriminator"].scales)
+
+    def loss_fn(disc_params, disc_stats, batch, generated):
+        pyr_real = L.image_pyramid(batch["driving"][:, 0], scales)
+        pyr_fake = L.image_pyramid(
+            jax.lax.stop_gradient(generated["prediction"]), scales)
+        kp = {k: jax.lax.stop_gradient(v)
+              for k, v in generated["kp_driving"].items() if k != "heatmap"}
+        variables = {"params": disc_params, "batch_stats": disc_stats}
+        real_out, upd = models["discriminator"].apply(
+            variables, pyr_real, kp, update_stats=True,
+            mutable=["batch_stats"])
+        fake_out, _ = models["discriminator"].apply(
+            variables, pyr_fake, kp, update_stats=False,
+            mutable=["batch_stats"])
+        loss = L.lsgan_discriminator_loss(real_out, fake_out, scales,
+                                          weights["discriminator_gan"])
+        return loss, upd["batch_stats"]
+
+    def step(disc_params, disc_stats, opt_state, batch, generated):
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(disc_params, disc_stats, batch, generated)
+        updates, opt_state = optimizer.update(grads, opt_state, disc_params)
+        disc_params = optax.apply_updates(disc_params, updates)
+        return disc_params, new_stats, opt_state, {"disc_gan": loss}
+
+    return step
+
+
+def equivariance_losses(models: dict, kp_params, kp_stats, frames,
+                        kp_driving: dict, rng, transform_params: dict,
+                        value_weight: float, jacobian_weight: float) -> dict:
+    """Equivariance constraints under random affine+TPS warps
+    (ref:modules/model.py:526-552).  The shipped configs zero these weights
+    (config train_params.loss_weights), but the machinery is complete:
+    warp the frames, detect keypoints on the warped frames, and require
+    kp == warp(kp_warped) (value) and the chain-rule identity (jacobian).
+    """
+    from eamm_tpu.ops import tps as T
+
+    B = frames.shape[0]
+    params = T.sample_tps(rng, B, transform_params["sigma_affine"],
+                          transform_params.get("sigma_tps", 0.0),
+                          transform_params.get("points_tps", 5))
+    warped = T.transform_frame(params, frames)
+    kp_t = models["kp_detector"].apply(
+        {"params": kp_params, "batch_stats": kp_stats}, warped, train=True)
+    out = {}
+    if value_weight:
+        rewarped = T.warp_coordinates(params, kp_t["value"])
+        out["equivariance_value"] = value_weight * jnp.mean(
+            jnp.abs(kp_driving["value"] - rewarped))
+    if jacobian_weight:
+        from eamm_tpu.ops.motion import inv2x2
+        jac_t = jnp.matmul(T.warp_jacobian(params, kp_t["value"]),
+                           kp_t["jacobian"])
+        value = jnp.matmul(inv2x2(kp_driving["jacobian"]), jac_t)
+        eye = jnp.eye(2)
+        out["equivariance_jacobian"] = jacobian_weight * jnp.mean(
+            jnp.abs(eye - value))
+    return out
+
+
 _HEAD_BY_TYPE = {
     # train_params['type'] -> EmotionK head name (ref:modules/model.py:335-363)
     "linear_4": "linear",
@@ -231,6 +305,7 @@ def make_part2_step(models: dict, train_params: dict, optimizer) -> Callable:
     head = _HEAD_BY_TYPE[train_params.get("type", "linear_4")]
     ten_kp = "10" in train_params.get("type", "linear_4")
     classify = bool(train_params.get("classify", True))
+    smooth = bool(train_params.get("smooth", False))
 
     def loss_fn(trainable, frozen, batch_stats, batch):
         B, T = batch["driving"].shape[:2]
@@ -261,6 +336,28 @@ def make_part2_step(models: dict, train_params: dict, optimizer) -> Callable:
             weights["emo"], ten_kp, classify)
         total = metrics["loss_value"] + metrics["loss_jacobian"] \
             + metrics["loss_classify"]
+
+        if smooth:
+            # temporal second-difference smoothness of the composed
+            # (audio + emotion) keypoints, neighbors detached
+            # (ref:modules/model_gen.py:275-281)
+            def compose(a, e, indices):
+                out = a
+                for j, i in enumerate(indices):
+                    out = out.at[:, i].add(e[:, j])
+                return out
+            idx = L.EMO_KP_INDICES if not ten_kp else tuple(range(10))
+            v_all = compose(kp_audio["value"], kp_emo["value"], idx) \
+                .reshape(B, T, -1, 2).swapaxes(0, 1)
+            j_all = compose(kp_audio["jacobian"], kp_emo["jacobian"], idx) \
+                .reshape(B, T, -1, 2, 2).swapaxes(0, 1)
+
+            def second_diff(x):
+                sg = jax.lax.stop_gradient
+                return jnp.mean(jnp.abs(x[2:] + sg(x[:-2]) - 2 * sg(x[1:-1])))
+            metrics["loss_smooth"] = (second_diff(v_all) + second_diff(j_all)) \
+                * weights["emo"] * 100.0 / T
+            total = total + metrics["loss_smooth"]
         new_stats = dict(batch_stats)
         new_stats["emo_detector"] = emo_updates["batch_stats"]
         return total, (metrics, new_stats)
@@ -271,8 +368,7 @@ def make_part2_step(models: dict, train_params: dict, optimizer) -> Callable:
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)
-        metrics["total"] = metrics["loss_value"] + metrics["loss_jacobian"] \
-            + metrics["loss_classify"]
+        metrics["total"] = sum(metrics.values())
         return Part2State(trainable, state.frozen, new_stats, opt_state,
                           state.step + 1), metrics
 

@@ -1,0 +1,1 @@
+from eamm_tpu.utils.profiling import StepTimer, trace, device_memory_stats

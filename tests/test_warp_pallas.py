@@ -1,0 +1,39 @@
+"""Pallas shared-source warp vs the reference XLA grid_sample (interpreter
+mode on CPU; the real-TPU path is exercised by bench.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eamm_tpu.ops.warp import grid_sample
+
+
+def _pallas_interpret(source, grids, align_corners=False, tile=128):
+    from jax.experimental.pallas import tpu as pltpu
+    from eamm_tpu.ops import warp_pallas
+    with pltpu.force_tpu_interpret_mode():
+        return warp_pallas.grid_sample_shared(source, grids,
+                                              align_corners=align_corners,
+                                              tile=tile)
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+def test_matches_xla_grid_sample(align_corners):
+    rng = np.random.RandomState(0)
+    src = jnp.asarray(rng.randn(16, 16, 8), jnp.float32)
+    grids = jnp.asarray(rng.uniform(-1.2, 1.2, (3, 8, 8, 2)), jnp.float32)
+
+    ours = _pallas_interpret(src, grids, align_corners)
+    B = grids.shape[0]
+    ref = grid_sample(jnp.broadcast_to(src[None], (B,) + src.shape), grids,
+                      padding_mode="zeros", align_corners=align_corners)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+def test_identity_grid():
+    rng = np.random.RandomState(1)
+    src = jnp.asarray(rng.randn(8, 8, 4), jnp.float32)
+    from eamm_tpu.ops.grid import make_coordinate_grid
+    ident = make_coordinate_grid(8, 8)[None]
+    out = _pallas_interpret(src, ident, align_corners=True, tile=64)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(src), atol=1e-5)
