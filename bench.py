@@ -89,6 +89,19 @@ def main():
     dt = time.time() - t0
     fps = n_frames / dt
 
+    # Batched clip inference (BASELINE config 3): 4 identities x 10 s.
+    n_id = 4
+    sources = rng.rand(n_id, 256, 256, 3).astype(np.float32)
+    wavs = [(0.1 * rng.randn(16000 * 10)).astype(np.float32)
+            for _ in range(n_id)]
+    poses = [rng.randn(1, 7).astype(np.float32) for _ in range(n_id)]
+    out = pipe.render_batch_uint8(sources, wavs, poses)       # compile
+    t0 = time.time()
+    wavs2 = [w + 1e-5 for w in wavs]
+    out = pipe.render_batch_uint8(sources, wavs2, poses)
+    batch_dt = time.time() - t0
+    batch_fps = out.shape[0] * out.shape[1] / batch_dt
+
     ref_fps = reference_fps()
     print(json.dumps({
         "metric": "generated_frames_per_sec_per_chip_256px",
@@ -97,6 +110,8 @@ def main():
         "vs_baseline": round(fps / ref_fps, 2),
         "detail": {"clip_seconds": 10, "frames": int(n_frames),
                    "end_to_end_sec_per_10s_clip": round(dt, 3),
+                   "batched_identities": n_id,
+                   "batched_frames_per_sec": round(batch_fps, 2),
                    "torch_cpu_reference_fps": round(ref_fps, 2)},
     }))
 

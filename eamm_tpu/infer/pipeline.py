@@ -83,6 +83,7 @@ class EammPipeline:
         # latency of a remote/queued TPU runtime would otherwise dominate).
         self._full_render = jax.jit(self._full_render_impl,
                                     static_argnames=("add_emo",))
+        self._batch_render = jax.jit(self._batch_render_impl)
         if self.options.compute_dtype != jnp.float32:
             self._render_vars = jax.tree.map(
                 lambda x: x.astype(self.options.compute_dtype)
@@ -221,6 +222,87 @@ class EammPipeline:
 
         frames = jax.lax.map(render_one_chunk, (kv, kj))
         return frames.reshape(n_chunks * F, *frames.shape[2:])
+
+    def _batch_chunk(self, n_identities: int) -> int:
+        """Frames-per-identity per render dispatch: the total per-chunk
+        frame count (N * F) is bounded so HBM activations stay ~constant
+        regardless of identity count."""
+        return max(8, min(self.options.frame_chunk,
+                          128 // max(1, n_identities)))
+
+    def _batch_render_impl(self, variables, source_images, mfcc_windows,
+                           pose):
+        """Multi-identity batched neutral rendering in one XLA program.
+
+        source_images [N,256,256,3], mfcc_windows [N,Tp,28,12],
+        pose [N,Tp,6] -> uint8 [N,Tp,256,256,3].  The identity axis is the
+        natural 'data' mesh axis — under jit with N sharded, every stage
+        (A2FD batch, kp heads, chunked rendering) parallelizes across chips
+        (the BASELINE 'batched clip inference' configuration).
+        """
+        o = self.options
+        m, v = self.models, variables
+        N, Tp = mfcc_windows.shape[:2]
+        kp_source = m["kp_detector"].apply(v["kp_detector"], source_images)
+
+        deco = m["audio_feature"].apply(
+            v["audio_feature"], source_images, mfcc_windows, pose,
+            audio_weight=o.audio_weight)                  # [N,Tp,64,64,35]
+        kp_a = m["kp_detector_a"].apply(
+            v["kp_detector_a"], deco.reshape((N * Tp,) + deco.shape[2:]))
+        kp_a = {k: val.reshape((N, Tp) + val.shape[1:])
+                for k, val in kp_a.items() if k != "heatmap"}
+        smooth = {
+            k: jax.vmap(lambda x: one_euro_filter(
+                x, mincutoff=0.05, beta=8.0, freq=100, scale=10.0))(val)
+            for k, val in kp_a.items()}
+
+        gen = self.models["generator"]
+        feats = gen.apply(v["generator"], source_images,
+                          method=gen.encode_source)       # [N,...]
+        F = self._batch_chunk(N)
+        n_chunks = Tp // F
+        kv = smooth["value"].reshape(N, n_chunks, F, 10, 2).swapaxes(0, 1)
+        kj = smooth["jacobian"].reshape(N, n_chunks, F, 10, 2, 2).swapaxes(0, 1)
+        kp_s = {k: val for k, val in kp_source.items() if k != "heatmap"}
+
+        def render_chunk(kp_chunk):
+            val, jac = kp_chunk                           # [N,F,...]
+            srcF = jnp.repeat(source_images, F, axis=0)
+            featF = jnp.repeat(feats, F, axis=0)
+            kpsF = {k: jnp.repeat(val2, F, axis=0) for k, val2 in kp_s.items()}
+            out = gen.apply(v["generator"], srcF, featF,
+                            {"value": val.reshape(N * F, 10, 2),
+                             "jacobian": jac.reshape(N * F, 10, 2, 2)},
+                            kpsF, method=gen.decode, want_aux=False)
+            pred = out["prediction"].reshape(N, F, 256, 256, 3)
+            return jnp.clip(jnp.round(pred * 255.0), 0, 255).astype(jnp.uint8)
+
+        frames = jax.lax.map(render_chunk, (kv, kj))      # [n_chunks,N,F,...]
+        return frames.swapaxes(0, 1).reshape(N, Tp, 256, 256, 3)
+
+    def render_batch_uint8(self, source_images, waveforms, poses) -> np.ndarray:
+        """Render several identities / clips at once (neutral path).
+
+        waveforms may differ in length; everything pads to the longest clip.
+        Returns uint8 [N, T_max, 256, 256, 3] (frames past each clip's own
+        length repeat the padded tail).
+        """
+        o = self.options
+        N = len(waveforms)
+        windows = [self.audio_to_windows(w) for w in waveforms]
+        T = max(w.shape[0] for w in windows)
+        Tp = _bucket(T, _bucket(o.time_bucket, self._batch_chunk(N)))
+        win = np.zeros((N, Tp, 28, 12), np.float32)
+        pos = np.zeros((N, Tp, 6), np.float32)
+        for i, w in enumerate(windows):
+            win[i, :w.shape[0]] = w
+            pos[i, :w.shape[0]] = self.prepare_pose(poses[i], w.shape[0])
+        out = self._batch_render(self.vars,
+                                 jnp.asarray(np.asarray(source_images,
+                                                        np.float32)),
+                                 jnp.asarray(win), jnp.asarray(pos))
+        return np.asarray(out)[:, :T]
 
     # ------------------------------------------------------------ driver
 

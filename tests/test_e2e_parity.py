@@ -1,0 +1,122 @@
+"""End-to-end inference parity: the full neutral demo path (MFCC windows ->
+A2FD -> audio keypoints -> one-euro smoothing -> generator per frame),
+reference semantics executed with torch oracles + the numpy one-euro filter,
+against EammPipeline running the converted weights.
+
+This is the test behind the 'per-frame L1 < 1e-2 vs reference' north star
+(BASELINE.json) — here on random-initialized (but shared) weights, which
+exercises every numerical path the published checkpoints would.
+"""
+import numpy as np
+import pytest
+import torch
+import jax.numpy as jnp
+
+from eamm_tpu.infer import EammPipeline, PipelineOptions
+from eamm_tpu.compat import (convert_kp_detector, convert_kp_detector_a,
+                             convert_atnet, convert_generator)
+from tests.test_compat_parity import (TKPDetector, TKPDetectorA, TATNet,
+                                      _randomize_bn_stats)
+from tests.test_compat_generator import TGenerator
+from tests.test_ops_filters import _NpOneEuro
+from tests.test_infer_pipeline import SMALL_CONFIG
+
+torch.manual_seed(3)
+
+
+@pytest.fixture(scope="module")
+def oracles():
+    kp = TKPDetector(be=32, max_f=128, num_blocks=5).eval()
+    kpa = TKPDetectorA().eval()
+    at = TATNet().eval()
+    gen = TGenerator(be=64, max_f=128, bottleneck=1).eval()
+    for m in (kp, kpa, at, gen):
+        _randomize_bn_stats(m)
+    return kp, kpa, at, gen
+
+
+@pytest.fixture(scope="module")
+def pipeline(oracles):
+    kp, kpa, at, gen = oracles
+    sd = lambda m: {k: v.numpy() for k, v in m.state_dict().items()}
+    variables = {
+        "kp_detector": convert_kp_detector(sd(kp)),
+        "kp_detector_a": convert_kp_detector_a(sd(kpa)),
+        "audio_feature": convert_atnet(sd(at)),
+        "generator": convert_generator(sd(gen), num_down_blocks=2,
+                                       num_bottleneck_blocks=1,
+                                       dense_num_blocks=5),
+        "emo_detector": EammPipeline.from_random(
+            SMALL_CONFIG).vars["emo_detector"],
+    }
+    cfg = {
+        "model_params": {
+            **SMALL_CONFIG["model_params"],
+            "generator_params": {"block_expansion": 64, "max_features": 128,
+                                 "num_down_blocks": 2,
+                                 "num_bottleneck_blocks": 1,
+                                 "estimate_occlusion_map": True,
+                                 "dense_motion_params": {
+                                     "block_expansion": 64,
+                                     "max_features": 256, "num_blocks": 5,
+                                     "scale_factor": 0.25}},
+        },
+        "train_params": {"jaco_net": "cnn"},
+    }
+    return EammPipeline(cfg, variables,
+                        PipelineOptions(frame_chunk=8, time_bucket=32,
+                                        add_emo=False, smooth_pose=False))
+
+
+def torch_reference_render(oracles, source, windows, pose, weight=1.6):
+    """The reference demo loop (ref:demo.py:194-282,286-354) with oracles."""
+    kp_det, kp_a, at, gen = oracles
+    src_t = torch.from_numpy(source).permute(2, 0, 1).unsqueeze(0)
+    with torch.no_grad():
+        deco = at(src_t, torch.from_numpy(windows).unsqueeze(0),
+                  torch.from_numpy(pose).unsqueeze(0), weight)   # [1,T,35,64,64]
+        kp_src_value, _, kp_src_jac = kp_det(src_t)
+
+        values, jacs = [], []
+        for t in range(deco.shape[1]):
+            heat, jac = kp_a(deco[:, t])
+            ax = 2 * torch.arange(58).float() / 57 - 1
+            grid = torch.stack([ax.view(1, -1).repeat(58, 1),
+                                ax.view(-1, 1).repeat(1, 58)], -1)
+            value = (heat.unsqueeze(-1) * grid).sum(dim=(2, 3))
+            values.append(value.numpy())
+            jacs.append(jac.numpy())
+        # one-euro smoothing, reference settings (ref:demo.py:241-248)
+        fv = _NpOneEuro(mincutoff=0.05, beta=8, freq=100)
+        fj = _NpOneEuro(mincutoff=0.05, beta=8, freq=100)
+        values = [fv.process(v * 10) / 10 for v in values]
+        jacs = [fj.process(j * 10) / 10 for j in jacs]
+
+        frames = []
+        for v, j in zip(values, jacs):
+            out = gen(src_t, {"value": torch.from_numpy(v).float(),
+                              "jacobian": torch.from_numpy(j).float()},
+                      {"value": kp_src_value, "jacobian": kp_src_jac})
+            frames.append(out[0].permute(1, 2, 0).numpy())
+    return np.array(frames)
+
+
+def test_neutral_demo_parity(oracles, pipeline):
+    rng = np.random.RandomState(0)
+    source = rng.rand(256, 256, 3).astype(np.float32)
+    wav = (0.1 * rng.randn(16000)).astype(np.float32)   # 1 s
+
+    windows = pipeline.audio_to_windows(wav)
+    T = windows.shape[0]
+    pose = rng.randn(T, 6).astype(np.float32)
+
+    ref = torch_reference_render(oracles, source, windows, pose)
+
+    ours = pipeline.render(source, wav, np.concatenate(
+        [pose[:, :6], np.zeros((T, 1), np.float32)], 1), add_emo=False)
+
+    assert ours.shape == ref.shape
+    l1 = np.abs(ours - ref).mean(axis=(1, 2, 3))
+    assert l1.max() < 1e-2, l1
+    # much tighter in practice: uint8 rounding dominates
+    assert l1.mean() < 3e-3, l1.mean()

@@ -70,6 +70,24 @@ def test_emotion_requires_frames(pipeline):
         pipeline.render(src, wav, pose, add_emo=True)
 
 
+def test_batched_identities(pipeline):
+    rng = np.random.RandomState(4)
+    sources = rng.rand(2, 256, 256, 3).astype(np.float32)
+    wavs = [(0.1 * rng.randn(16000)).astype(np.float32),
+            (0.1 * rng.randn(12000)).astype(np.float32)]
+    poses = [rng.randn(1, 7).astype(np.float32),
+             rng.randn(5, 7).astype(np.float32)]
+    out = pipeline.render_batch_uint8(sources, wavs, poses)
+    assert out.ndim == 5 and out.shape[0] == 2
+    assert out.shape[2:] == (256, 256, 3) and out.dtype == np.uint8
+    # batched result for identity 0 matches the single-clip fused path
+    single = pipeline.render_uint8(sources[0], wavs[0], poses[0],
+                                   add_emo=False)
+    T = single.shape[0]
+    diff = np.abs(out[0, :T].astype(int) - single.astype(int))
+    assert diff.max() <= 1          # uint8 rounding wobble only
+
+
 def test_relative_mode(pipeline):
     src, wav, pose, _ = _inputs(seed=3)
     pipeline.options.relative = True
