@@ -22,6 +22,12 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--log_dir", default="log", help="log directory")
     parser.add_argument("--checkpoint", default=None,
                         help="'latest' or path to resume from")
+    parser.add_argument("--fomm_checkpoint", default=None,
+                        help="torch FOMM .pth.tar for the frozen "
+                             "generator+kp_detector (ref:train.py:24-28)")
+    parser.add_argument("--audio_checkpoint", default=None,
+                        help="torch audio .pth.tar (part2 frozen A2FD, "
+                             "ref:train.py:283-308)")
     parser.add_argument("--max_steps", type=int, default=None,
                         help="stop after N optimizer steps (smoke runs)")
     parser.add_argument("--seed", type=int, default=0)
@@ -52,7 +58,9 @@ def main(argv=None):
 
     print(f"mode={opt.mode} log_dir={log_dir}")
     return train(config, opt.mode, log_dir, checkpoint=opt.checkpoint,
-                 max_steps=opt.max_steps, seed=opt.seed)
+                 max_steps=opt.max_steps, seed=opt.seed,
+                 fomm_checkpoint=opt.fomm_checkpoint,
+                 audio_checkpoint=opt.audio_checkpoint)
 
 
 if __name__ == "__main__":

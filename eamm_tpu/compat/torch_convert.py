@@ -47,6 +47,14 @@ def _strip_prefix(sd: Mapping[str, np.ndarray]) -> dict[str, np.ndarray]:
     return {(k[7:] if k.startswith("module.") else k): v for k, v in sd.items()}
 
 
+def _count(sd: Mapping[str, np.ndarray], fmt: str) -> int:
+    """Number of consecutive indices i for which fmt.format(i) is a key."""
+    i = 0
+    while fmt.format(i) in sd:
+        i += 1
+    return i
+
+
 # ---------------------------------------------------------------- primitives
 
 def conv2d(sd, pfx, bias=True) -> Tree:
@@ -157,10 +165,14 @@ class _TreeBuilder:
 
 # ------------------------------------------------------------------- models
 
-def convert_kp_detector(sd: Mapping[str, np.ndarray], num_blocks=5) -> dict:
-    """ref torch names: predictor.*, kp.*, jacobian.* (modules/keypoint_detector.py)."""
+def convert_kp_detector(sd: Mapping[str, np.ndarray],
+                        num_blocks: int | None = None) -> dict:
+    """ref torch names: predictor.*, kp.*, jacobian.* (modules/keypoint_detector.py).
+    Architecture sizes are inferred from the state_dict when not given."""
     sd = _strip_prefix(sd)
     b = _TreeBuilder()
+    num_blocks = num_blocks or _count(
+        sd, "predictor.encoder.down_blocks.{}.conv.weight")
     b.hourglass(sd, "predictor", "predictor", num_blocks)
     b.add("head/kp", conv2d(sd, "kp"))
     if "jacobian.weight" in sd:
@@ -179,10 +191,18 @@ def convert_kp_detector_a(sd: Mapping[str, np.ndarray]) -> dict:
     return b.done()
 
 
-def convert_generator(sd: Mapping[str, np.ndarray], num_down_blocks=2,
-                      num_bottleneck_blocks=6, dense_num_blocks=5) -> dict:
+def convert_generator(sd: Mapping[str, np.ndarray],
+                      num_down_blocks: int | None = None,
+                      num_bottleneck_blocks: int | None = None,
+                      dense_num_blocks: int | None = None) -> dict:
     sd = _strip_prefix(sd)
     b = _TreeBuilder()
+    num_down_blocks = num_down_blocks or _count(
+        sd, "down_blocks.{}.conv.weight")
+    num_bottleneck_blocks = num_bottleneck_blocks or _count(
+        sd, "bottleneck.r{}.conv1.weight")
+    dense_num_blocks = dense_num_blocks or _count(
+        sd, "dense_motion_network.hourglass.encoder.down_blocks.{}.conv.weight")
     b.block(sd, "first", "first")
     for i in range(num_down_blocks):
         b.block(sd, f"down_blocks.{i}", f"down{i}")
@@ -239,10 +259,13 @@ def _emotion_trunk(b: _TreeBuilder, sd, num_blocks=5):
                 b.add_bn(sd, f"{pfx}.downsample.1", f"{path}/ds_bn")
 
 
-def convert_emotion_k(sd: Mapping[str, np.ndarray], num_blocks=5) -> dict:
+def convert_emotion_k(sd: Mapping[str, np.ndarray],
+                      num_blocks: int | None = None) -> dict:
     """Emotion_k (ref:modules/util.py:1223-1527)."""
     sd = _strip_prefix(sd)
     b = _TreeBuilder()
+    num_blocks = num_blocks or _count(
+        sd, "predictor.encoder.down_blocks.{}.conv.weight")
     _emotion_trunk(b, sd, num_blocks)
     b.add("fc_p/fc0", linear(sd, "fc_p.0"))
     b.add("fc_p/fc1", linear(sd, "fc_p.2"))
@@ -266,10 +289,13 @@ def convert_emotion_k(sd: Mapping[str, np.ndarray], num_blocks=5) -> dict:
     return b.done()
 
 
-def convert_emotion_map(sd: Mapping[str, np.ndarray], num_blocks=5) -> dict:
+def convert_emotion_map(sd: Mapping[str, np.ndarray],
+                        num_blocks: int | None = None) -> dict:
     """Emotion_map (ref:modules/util.py:1529-1737)."""
     sd = _strip_prefix(sd)
     b = _TreeBuilder()
+    num_blocks = num_blocks or _count(
+        sd, "predictor.encoder.down_blocks.{}.conv.weight")
     _emotion_trunk(b, sd, num_blocks)
     b.add("fc_p/fc0", linear(sd, "fc_p.0"))
     b.add("fc_p/fc1", linear(sd, "fc_p.2"))

@@ -44,9 +44,41 @@ def _example_batch_spec(batch):
     return {k: jnp.asarray(v[:1]) for k, v in batch.items()}
 
 
+def load_frozen_torch(state, mode: str, fomm_checkpoint: str | None = None,
+                      audio_checkpoint: str | None = None):
+    """Initialize frozen/pretrained modules from the reference's torch
+    checkpoints: part1 freezes the FOMM generator+kp_detector
+    (ref:train.py:24-28); part2 additionally loads the trained
+    audio_feature+kp_detector_a (ref:train.py:283-308)."""
+    from eamm_tpu import compat
+    if fomm_checkpoint:
+        fomm = compat.load_torch_checkpoint(fomm_checkpoint)
+        kp = compat.convert_kp_detector(fomm["kp_detector"])
+        gen = compat.convert_generator(fomm["generator"])
+        state.frozen["kp_detector"] = kp["params"]
+        state.batch_stats["kp_detector"] = kp["batch_stats"]
+        target = state.trainable if "generator" in state.trainable \
+            else state.frozen
+        target["generator"] = gen["params"]
+        state.batch_stats["generator"] = gen["batch_stats"]
+    if audio_checkpoint:
+        audio = compat.load_torch_checkpoint(audio_checkpoint)
+        at = compat.convert_atnet(audio["audio_feature"])
+        kpa = compat.convert_kp_detector_a(audio["kp_detector_a"])
+        target = state.trainable if "audio_feature" in state.trainable \
+            else state.frozen
+        target["audio_feature"] = at["params"]
+        state.batch_stats["audio_feature"] = at["batch_stats"]
+        target2 = state.trainable if "kp_detector_a" in state.trainable \
+            else state.frozen
+        target2["kp_detector_a"] = kpa["params"]
+    return state
+
+
 def train(config: dict, mode: str, log_dir: str, checkpoint: str | None = None,
           max_steps: int | None = None, mesh=None, seed: int = 0,
-          vgg_params=None):
+          vgg_params=None, fomm_checkpoint: str | None = None,
+          audio_checkpoint: str | None = None):
     """mode: 'train_part1' | 'train_part1_fine_tune' | 'train_part2'
     (ref:run.py:28-40)."""
     tp = config["train_params"]
@@ -92,6 +124,10 @@ def train(config: dict, mode: str, log_dir: str, checkpoint: str | None = None,
         step_fn = S.make_part2_step(models, tp, optimizer)
     else:
         raise ValueError(f"unknown mode {mode!r}")
+
+    if fomm_checkpoint or audio_checkpoint:
+        state = load_frozen_torch(state, mode, fomm_checkpoint,
+                                  audio_checkpoint)
 
     if checkpoint:
         restored = ckpt.restore(like=state) if checkpoint == "latest" else None
