@@ -18,7 +18,9 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--config", required=True, help="path to config")
     parser.add_argument("--mode", default="train_part1",
                         choices=["train_part1", "train_part1_fine_tune",
-                                 "train_part2"])
+                                 "train_part2", "reconstruction", "animate"])
+    parser.add_argument("--num_videos", type=int, default=10,
+                        help="clips/pairs for reconstruction|animate modes")
     parser.add_argument("--log_dir", default="log", help="log directory")
     parser.add_argument("--checkpoint", default=None,
                         help="'latest' or path to resume from")
@@ -57,6 +59,38 @@ def main(argv=None):
                                          os.path.basename(opt.config)))
 
     print(f"mode={opt.mode} log_dir={log_dir}")
+    if opt.mode in ("reconstruction", "animate"):
+        # FOMM evaluation protocols (the reference run.py imports these
+        # modules but they don't exist there — SURVEY.md §5.1)
+        import json
+        from eamm_tpu import compat
+        from eamm_tpu.config import build_kp_detector, build_generator
+        from eamm_tpu.data import PairedDataset
+        from eamm_tpu.infer.animate import reconstruction, animate
+        from eamm_tpu.train.loop import build_dataset
+        if not opt.fomm_checkpoint:
+            raise SystemExit(f"--mode {opt.mode} requires --fomm_checkpoint")
+        fomm = compat.load_torch_checkpoint(opt.fomm_checkpoint)
+        models = {"kp_detector": build_kp_detector(config),
+                  "generator": build_generator(config)}
+        variables = {
+            "kp_detector": compat.convert_kp_detector(fomm["kp_detector"]),
+            "generator": compat.convert_generator(fomm["generator"])}
+        dataset = build_dataset(config, is_train=False)
+        if opt.mode == "reconstruction":
+            out = reconstruction(models, variables, dataset, opt.num_videos)
+            print(json.dumps(out))
+            return out
+        pairs = PairedDataset(dataset, number_of_pairs=opt.num_videos)
+        clips = animate(models, variables, pairs)
+        out_dir = os.path.join(log_dir, "animation")
+        os.makedirs(out_dir, exist_ok=True)
+        import numpy as np
+        for i, clip in enumerate(clips):
+            np.save(os.path.join(out_dir, f"pair_{i}.npy"),
+                    (clip * 255).astype("uint8"))
+        print(f"saved {len(clips)} animations to {out_dir}")
+        return clips
     return train(config, opt.mode, log_dir, checkpoint=opt.checkpoint,
                  max_steps=opt.max_steps, seed=opt.seed,
                  fomm_checkpoint=opt.fomm_checkpoint,
