@@ -53,6 +53,9 @@ def build_parser() -> ArgumentParser:
                         help="audio feature exaggeration (ref hardcodes 1.6)")
     parser.add_argument("--no_crop", action="store_true",
                         help="source image is already aligned to 256x256")
+    parser.add_argument("--no_align", action="store_true",
+                        help="emotion video frames are already aligned "
+                             "(skip the landmark-based per-frame alignment)")
     parser.add_argument("--cpu", action="store_true")
     return parser
 
@@ -67,6 +70,11 @@ def smooth_pose_graft(pose_file: str, pose_long: str) -> np.ndarray:
 
 
 def read_video(path: str) -> np.ndarray:
+    if path.endswith(".npy"):   # raw frame array (backend-free environments)
+        arr = np.load(path)
+        if arr.dtype == np.uint8:
+            arr = arr.astype(np.float32) / 255.0
+        return arr[..., :3]
     import imageio.v2 as imageio
     reader = imageio.get_reader(path)
     frames = []
@@ -146,8 +154,10 @@ def main(argv=None):
         if not opt.driving_video:
             raise SystemExit("--add_emo requires --driving_video")
         driving = read_video(opt.driving_video)
-        shift = (0, 10) if opt.emotion in ("surprised", "fear") else (0, 0)
-        driving = align_clip(driving, shift=shift)
+        if not opt.no_align:
+            # template shifted [0,-10] for surprised/fear (ref:demo.py:159-160)
+            shift = (0, 10) if opt.emotion in ("surprised", "fear") else (0, 0)
+            driving = align_clip(driving, shift=shift)
         aug = AllAugmentationTransform(
             **config["dataset_params"]["augmentation_params"])
         transformed = np.asarray(aug(driving))
