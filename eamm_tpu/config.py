@@ -8,8 +8,8 @@ helpers instead of splatting.
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Any
+
+
 
 import yaml
 

@@ -22,7 +22,6 @@ sliced off).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import math
 from typing import Any
 
@@ -31,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from eamm_tpu import config as cfg
-from eamm_tpu.ops.mfcc import audio_to_mfcc_windows, num_mfcc_frames, num_windows, PAD_SAMPLES
+from eamm_tpu.ops.mfcc import audio_to_mfcc_windows
 from eamm_tpu.ops.filters import one_euro_filter
 from eamm_tpu.ops.motion import normalize_kp, convex_hull_area
 

@@ -23,8 +23,6 @@ SURVEY.md §5.1):
 """
 from __future__ import annotations
 
-import numpy as np
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 

@@ -4,7 +4,6 @@ NHWC layout: instance statistics are per-sample, per-channel over (H, W).
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

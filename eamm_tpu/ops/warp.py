@@ -15,9 +15,7 @@ kernel for the hot generator warp lives in eamm_tpu/ops/warp_pallas.py.
 """
 from __future__ import annotations
 
-import functools
 
-import jax
 import jax.numpy as jnp
 
 

@@ -8,7 +8,6 @@ over the device mesh.
 from __future__ import annotations
 
 import os
-import time
 
 import numpy as np
 import jax
