@@ -109,8 +109,6 @@ def make_part1_step(models: dict, train_params: dict,
     scales = tuple(train_params.get("scales", (1, 0.5, 0.25, 0.125)))
     perceptual_w = tuple(weights.get("perceptual", ()))
     use_perceptual = gen_mode in ("visual", "audio") and sum(perceptual_w) != 0
-    # perceptual supervision on every 4th frame (ref:modules/model.py:231,253)
-    percep_frames = (0, 4, 8, 12)
 
     def loss_fn(trainable, frozen, batch_stats, batch):
         params = {**frozen, **trainable}
@@ -136,6 +134,9 @@ def make_part1_step(models: dict, train_params: dict,
         new_stats["audio_feature"] = audio_updates["batch_stats"]
 
         if use_perceptual:
+            # perceptual supervision on every 4th frame of the window
+            # (ref:modules/model.py:231,253)
+            percep_frames = tuple(range(0, T, 4))
             kp_branch = kp_audio if gen_mode == "audio" else kp_driving
             kp_source = _apply_kp_detector(
                 models["kp_detector"], params["kp_detector"],
