@@ -83,13 +83,6 @@ class EammPipeline:
         self._full_render = jax.jit(self._full_render_impl,
                                     static_argnames=("add_emo",))
         self._batch_render = jax.jit(self._batch_render_impl)
-        if self.options.compute_dtype != jnp.float32:
-            self._render_vars = jax.tree.map(
-                lambda x: x.astype(self.options.compute_dtype)
-                if hasattr(x, "astype") and jnp.issubdtype(x.dtype, jnp.floating)
-                else x, variables)
-        else:
-            self._render_vars = variables
 
     # ------------------------------------------------------------ stages
 

@@ -101,7 +101,41 @@ def train(config: dict, mode: str, log_dir: str, checkpoint: str | None = None,
     mesh = mesh or make_mesh_for_batch(tp["batch_size"])
     logger = MetricsLogger(log_dir)
     ckpt = CheckpointManager(os.path.join(log_dir, "checkpoints"))
-    visualizer = Visualizer(**config.get("visualizer_params", {}))
+    viz_params = {k: v for k, v in
+                  config.get("visualizer_params", {}).items()
+                  if k in ("kp_size", "draw_border", "colormap")}
+    visualizer = Visualizer(**viz_params)
+
+    def save_visualization(state, batch_host, step_num):
+        """Checkpoint-time diagnostic grid (ref:logger.py:107-222): run the
+        generator on the first sample and save the panel image."""
+        try:
+            params = {**state.frozen, **state.trainable}
+            if "generator" not in params or "kp_detector" not in params:
+                return
+            src = jnp.asarray(batch_host["example_image"][:1])
+            drv = jnp.asarray(batch_host["driving"][:1, 0])
+            kp_s = models["kp_detector"].apply(
+                {"params": params["kp_detector"],
+                 "batch_stats": state.batch_stats["kp_detector"]},
+                src, train=True)
+            kp_d = models["kp_detector"].apply(
+                {"params": params["kp_detector"],
+                 "batch_stats": state.batch_stats["kp_detector"]},
+                drv, train=True)
+            kp_s = {k: v for k, v in kp_s.items() if k != "heatmap"}
+            kp_d = {k: v for k, v in kp_d.items() if k != "heatmap"}
+            out = models["generator"].apply(
+                {"params": params["generator"],
+                 "batch_stats": state.batch_stats["generator"]},
+                src, kp_d, kp_s, train=True)
+            out.update({"kp_source": kp_s, "kp_driving": kp_d})
+            out = jax.tree.map(np.asarray, out)
+            visualizer.save(os.path.join(log_dir,
+                                         f"{step_num:08d}-viz.png"),
+                            np.asarray(drv), np.asarray(src), out)
+        except Exception as e:            # viz must never kill training
+            print(f"visualization failed: {e}")
 
     first_batch = next(iter(loader))
     example = _example_batch_spec(first_batch)
@@ -163,9 +197,11 @@ def train(config: dict, mode: str, log_dir: str, checkpoint: str | None = None,
                 total += 1
                 if total % save_every_steps == 0 and epoch % checkpoint_freq == 0:
                     ckpt.save(int(state.step), state)
+                    save_visualization(state, batch_host, int(state.step))
                 if max_steps is not None and total >= max_steps:
                     logger.log_epoch(epoch)
                     ckpt.save(int(state.step), state)
+                    save_visualization(state, batch_host, int(state.step))
                     return state
             logger.log_epoch(epoch)
             if eval_loader is not None:
