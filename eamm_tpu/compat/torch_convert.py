@@ -239,7 +239,55 @@ def convert_atnet(sd: Mapping[str, np.ndarray]) -> dict:
         b.add(f"decoder/decon{jax_i}", conv_transpose2d(sd, f"decon.{torch_i}"))
     for jax_i, torch_i in enumerate([1, 4, 7, 10]):
         b.add_bn(sd, f"decon.{torch_i}", f"decoder/norm{jax_i}")
-    return b.done()
+    out = b.done()
+    if "generator.conv1.conv.weight" in sd:   # jaco_net='gan' decoder
+        out["params"]["generator"] = convert_stylegan2(sd, "generator")
+    return out
+
+
+def convert_stylegan2(sd: Mapping[str, np.ndarray], pfx: str = "",
+                      size: int = 64, n_mlp: int = 8) -> Tree:
+    """Vendored StyleGAN2 synthesis generator -> SynthesisGenerator params
+    (ref:modules/stylegan2.py:447-638; used when jaco_net='gan').
+
+    EqualLinear stores weight [out, in] (lr_mul folded at runtime on both
+    sides) -> transpose.  ModulatedConv stores weight [1, O, I, k, k] ->
+    HWIO (the upsample path's spatial flip happens at runtime on both
+    sides).  FusedLeakyReLU bias [1, C, 1, 1] -> [C].
+    """
+    if pfx and not pfx.endswith("."):
+        pfx += "."
+
+    def eq_linear(p):
+        return {"weight": np.ascontiguousarray(sd[f"{p}.weight"].T),
+                "bias": sd[f"{p}.bias"]}
+
+    def mod_conv(p):
+        w = sd[f"{p}.weight"][0]                      # [O, I, kh, kw]
+        return {"weight": np.ascontiguousarray(w.transpose(2, 3, 1, 0)),
+                "modulation": eq_linear(f"{p}.modulation")}
+
+    def styled_conv(p):
+        return {"conv": mod_conv(f"{p}.conv"),
+                "bias": sd[f"{p}.activate.bias"].reshape(-1)}
+
+    def to_rgb(p):
+        return {"conv": mod_conv(f"{p}.conv"),
+                "bias": sd[f"{p}.bias"].reshape(-1)}
+
+    import math
+    params: Tree = {}
+    # style MLP: Sequential [PixelNorm, EqualLinear x n_mlp] -> indices 1..n
+    for i in range(n_mlp):
+        params[f"style{i}"] = eq_linear(f"{pfx}style.{i + 1}")
+    params["conv1"] = styled_conv(f"{pfx}conv1")
+    params["to_rgb1"] = to_rgb(f"{pfx}to_rgb1")
+    log_size = int(math.log2(size))
+    for li in range(log_size - 2):
+        params[f"conv_up{li}"] = styled_conv(f"{pfx}convs.{2 * li}")
+        params[f"conv_same{li}"] = styled_conv(f"{pfx}convs.{2 * li + 1}")
+        params[f"to_rgb_up{li}"] = to_rgb(f"{pfx}to_rgbs.{li}")
+    return params
 
 
 def _emotion_trunk(b: _TreeBuilder, sd, num_blocks=5):

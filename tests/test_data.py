@@ -141,6 +141,33 @@ def test_mead_dataset(mead_root):
     assert ds.emotion_label("M003/neutral_001") == EMOTIONS.index("neutral")
 
 
+@pytest.fixture(scope="module")
+def vox_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("vox")
+    rng = np.random.RandomState(2)
+    img = root / "align_img" / "train_fo" / "id1" / "clip0"
+    img.mkdir(parents=True)
+    for i in range(30):
+        _write_png(str(img / f"{i}.png"), rng)
+    (root / "MFCC" / "train" / "id1").mkdir(parents=True)
+    np.save(str(root / "MFCC" / "train" / "id1" / "clip0.npy"),
+            rng.randn(30, 28, 13))
+    (root / "align_pose" / "train_fo" / "id1").mkdir(parents=True)
+    np.save(str(root / "align_pose" / "train_fo" / "id1" / "clip0.npy"),
+            rng.randn(30, 7))
+    return str(root)
+
+
+def test_vox_dataset(vox_root):
+    from eamm_tpu.data import VoxDataset
+    ds = VoxDataset(vox_root, augmentation_params={})
+    assert len(ds) == 1
+    s = ds[0]
+    assert s["driving"].shape == (16, 64, 64, 3)
+    assert s["driving_audio"].shape == (16, 28, 12)
+    assert s["driving_pose"].shape == (16, 6)
+
+
 def test_dataloader_batches(lrw_root):
     ds = DatasetRepeater(AudioDataset(lrw_root, augmentation_params={}), 8)
     loader = DataLoader(ds, batch_size=4, num_workers=2)

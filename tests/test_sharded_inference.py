@@ -1,0 +1,32 @@
+"""Multi-device batched inference: identities sharded over a CPU mesh must
+reproduce the unsharded result (the 'batched clip inference' BASELINE config
+on a mesh)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eamm_tpu.parallel import host_cpu_mesh, batch_sharding, replicated
+from tests.test_infer_pipeline import SMALL_CONFIG
+from eamm_tpu.infer import EammPipeline, PipelineOptions
+
+
+def test_batch_render_sharded_matches_unsharded():
+    pipe = EammPipeline.from_random(
+        SMALL_CONFIG, options=PipelineOptions(frame_chunk=8, time_bucket=32))
+    rng = np.random.RandomState(0)
+    sources = jnp.asarray(rng.rand(2, 256, 256, 3), jnp.float32)
+    windows = jnp.asarray(rng.randn(2, 32, 28, 12), jnp.float32)
+    pose = jnp.asarray(rng.randn(2, 32, 6), jnp.float32)
+
+    plain = np.asarray(pipe._batch_render(pipe.vars, sources, windows, pose))
+
+    mesh = host_cpu_mesh(2)
+    with mesh:
+        sharding = batch_sharding(mesh)
+        args = [jax.device_put(x, sharding) for x in (sources, windows, pose)]
+        vars_r = jax.device_put(pipe.vars, replicated(mesh))
+        sharded = np.asarray(pipe._batch_render(vars_r, *args))
+
+    # bit-identical up to uint8 rounding wobble from reduction order
+    assert np.abs(sharded.astype(int) - plain.astype(int)).max() <= 1
