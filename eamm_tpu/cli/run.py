@@ -78,11 +78,20 @@ def main(argv=None):
             "generator": compat.convert_generator(fomm["generator"])}
         dataset = build_dataset(config, is_train=False)
         if opt.mode == "reconstruction":
-            out = reconstruction(models, variables, dataset, opt.num_videos)
+            n = config.get("reconstruction_params", {}).get(
+                "num_videos", opt.num_videos)
+            out = reconstruction(models, variables, dataset,
+                                 min(n, opt.num_videos))
             print(json.dumps(out))
             return out
-        pairs = PairedDataset(dataset, number_of_pairs=opt.num_videos)
-        clips = animate(models, variables, pairs)
+        ap = config.get("animate_params", {})
+        norm = ap.get("normalization_params", {})
+        pairs = PairedDataset(
+            dataset, number_of_pairs=min(ap.get("num_pairs", opt.num_videos),
+                                         opt.num_videos))
+        clips = animate(models, variables, pairs,
+                        relative=norm.get("use_relative_movement", True),
+                        adapt_scale=norm.get("adapt_movement_scale", False))
         out_dir = os.path.join(log_dir, "animation")
         os.makedirs(out_dir, exist_ok=True)
         import numpy as np
