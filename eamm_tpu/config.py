@@ -103,9 +103,16 @@ def build_atnet(config: dict) -> ATNet:
 
 
 def build_emotion_detector(config: dict | None = None, kind: str = "linear"):
-    """kind: 'linear*' -> EmotionK, 'map*' -> EmotionMap (ref:demo.py:68-73)."""
+    """kind: 'linear*' -> EmotionK, 'map*' -> EmotionMap (ref:demo.py:68-73).
+
+    The reference hardcodes the constructor arguments (block_expansion 32,
+    max_features 1024, num_blocks 5, scale 0.25); an optional
+    ``model_params.emotion_params`` config section overrides them.
+    """
     kwargs = dict(block_expansion=32, num_channels=3, max_features=1024,
                   num_blocks=5, scale_factor=0.25, num_classes=8)
+    kwargs.update(_get(config or {}, "model_params", "emotion_params",
+                       default={}))
     if kind.startswith("map"):
         return EmotionMap(**kwargs)
     return EmotionK(**kwargs)
