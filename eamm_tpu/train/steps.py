@@ -62,8 +62,14 @@ def _apply_kp_detector(model, params, stats, images, train):
 
 def init_part1_state(rng, models: dict, batch: dict, optimizer,
                      train_generator: bool = False,
-                     vgg_params: dict | None = None) -> Part1State:
-    """Initialize all module variables from a (host-shaped) example batch."""
+                     vgg_params: dict | None = None,
+                     discriminator_vars: dict | None = None) -> Part1State:
+    """Initialize all module variables from a (host-shaped) example batch.
+
+    discriminator_vars (params+batch_stats) are stored frozen — the
+    discriminator trains in its own alternating step (see
+    make_discriminator_step); the generator step only reads it.
+    """
     k1, k2, k3, k4 = jax.random.split(rng, 4)
     ex, drv = batch["example_image"], batch["driving"]
     v_kp = models["kp_detector"].init(k1, ex, train=True)
@@ -93,6 +99,9 @@ def init_part1_state(rng, models: dict, batch: dict, optimizer,
     batch_stats = {"kp_detector": v_kp["batch_stats"],
                    "generator": v_gen["batch_stats"],
                    "audio_feature": v_audio["batch_stats"]}
+    if discriminator_vars is not None:
+        frozen["discriminator"] = discriminator_vars["params"]
+        batch_stats["discriminator"] = discriminator_vars["batch_stats"]
     return Part1State(trainable, frozen, batch_stats,
                       optimizer.init(trainable), jnp.zeros((), jnp.int32))
 
@@ -109,6 +118,9 @@ def make_part1_step(models: dict, train_params: dict,
     scales = tuple(train_params.get("scales", (1, 0.5, 0.25, 0.125)))
     perceptual_w = tuple(weights.get("perceptual", ()))
     use_perceptual = gen_mode in ("visual", "audio") and sum(perceptual_w) != 0
+    gan_w = weights.get("generator_gan", 0)
+    fm_w = tuple(weights.get("feature_matching", ()))
+    use_gan = gen_mode in ("visual", "audio") and gan_w != 0
 
     def loss_fn(trainable, frozen, batch_stats, batch):
         params = {**frozen, **trainable}
@@ -147,23 +159,52 @@ def make_part1_step(models: dict, train_params: dict,
                 return {k: v[idx] for k, v in kp.items() if k != "heatmap"}
 
             percep_total = 0.0
-            gen_vars = {"params": params["generator"],
-                        "batch_stats": batch_stats["generator"]}
+            gan_total = 0.0
+            fm_total = 0.0
             vgg_apply = lambda x: models["vgg"].apply(
                 {"params": params["vgg"]}, x)
             gen_stats = batch_stats["generator"]
+            disc_scales = tuple(models["discriminator"].scales) \
+                if use_gan else ()
+            last_generated = None
             for i in percep_frames:
                 generated, gen_updates = models["generator"].apply(
                     {"params": params["generator"], "batch_stats": gen_stats},
                     batch["example_image"], frame_kp(kp_branch, i), kp_source,
                     train=True, mutable=["batch_stats"])
                 gen_stats = gen_updates["batch_stats"]
+                last_generated = generated
                 pyr_real = L.image_pyramid(batch["driving"][:, i], scales)
                 pyr_gen = L.image_pyramid(generated["prediction"], scales)
                 percep_total += L.perceptual_loss(
                     vgg_apply, pyr_real, pyr_gen, scales, perceptual_w)
+                if use_gan:
+                    # LSGAN generator term + feature matching vs real
+                    # (ref:modules/model.py:505-524); discriminator params
+                    # are frozen inside the generator step
+                    kp_det = {k: jax.lax.stop_gradient(v)
+                              for k, v in frame_kp(kp_branch, i).items()}
+                    dvars = {"params": params["discriminator"],
+                             "batch_stats": batch_stats["discriminator"]}
+                    pyr_gen_d = {k: pyr_gen[k] for k in
+                                 (f"prediction_{s}" for s in disc_scales)}
+                    pyr_real_d = {k: pyr_real[k] for k in
+                                  (f"prediction_{s}" for s in disc_scales)}
+                    fake_out = models["discriminator"].apply(
+                        dvars, pyr_gen_d, kp_det)
+                    gan_total += L.lsgan_generator_loss(
+                        fake_out, disc_scales, gan_w)
+                    if sum(fm_w) != 0:
+                        real_out = models["discriminator"].apply(
+                            dvars, pyr_real_d, kp_det)
+                        fm_total += L.feature_matching_loss(
+                            real_out, fake_out, disc_scales, fm_w)
             metrics["perceptual"] = percep_total / len(percep_frames)
             total = total + metrics["perceptual"]
+            if use_gan:
+                metrics["gen_gan"] = gan_total / len(percep_frames)
+                metrics["feature_matching"] = fm_total / len(percep_frames)
+                total = total + metrics["gen_gan"] + metrics["feature_matching"]
             if "generator" in trainable:
                 new_stats["generator"] = gen_stats
 
