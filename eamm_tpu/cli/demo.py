@@ -51,6 +51,9 @@ def build_parser() -> ArgumentParser:
                                  "happy", "neutral", "sad", "surprised"])
     parser.add_argument("--weight", type=float, default=1.6,
                         help="audio feature exaggeration (ref hardcodes 1.6)")
+    parser.add_argument("--kp_loss", default=0,
+                        help="accepted for reference-CLI parity (unused "
+                             "there too, ref:demo.py:549)")
     parser.add_argument("--no_crop", action="store_true",
                         help="source image is already aligned to 256x256")
     parser.add_argument("--no_align", action="store_true",
