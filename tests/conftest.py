@@ -24,3 +24,10 @@ if REPO_ROOT not in sys.path:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is compile-dominated (big hourglass
+# models at 256^2); repeat runs drop from ~28 min to a few minutes.
+_CACHE_DIR = os.path.join(REPO_ROOT, ".jax_cache")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
