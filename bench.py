@@ -93,6 +93,18 @@ def main():
         dt = min(dt, time.time() - t0)
     fps = n_frames / dt
 
+    # Full emotional path (BASELINE config 2), opt-in via EAMM_BENCH_FULL=1
+    # (adds a second whole-clip program compile to the bench budget).
+    emo_fps = None
+    if os.environ.get("EAMM_BENCH_FULL") == "1":
+        emo_frames = rng.rand(20, 256, 256, 3).astype(np.float32)
+        pipe.render_uint8(src, wav, pose, transformed_video=emo_frames,
+                          add_emo=True)
+        t0 = time.time()
+        out_e = pipe.render_uint8(src, wav + 2e-5, pose,
+                                  transformed_video=emo_frames, add_emo=True)
+        emo_fps = out_e.shape[0] / (time.time() - t0)
+
     # Batched clip inference (BASELINE config 3): 4 identities x 10 s.
     n_id = 4
     sources = rng.rand(n_id, 256, 256, 3).astype(np.float32)
@@ -116,6 +128,8 @@ def main():
                    "end_to_end_sec_per_10s_clip": round(dt, 3),
                    "batched_identities": n_id,
                    "batched_frames_per_sec": round(batch_fps, 2),
+                   **({"emotional_frames_per_sec": round(emo_fps, 2)}
+                      if emo_fps else {}),
                    "torch_cpu_reference_fps": round(ref_fps, 2)},
     }))
 
