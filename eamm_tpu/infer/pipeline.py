@@ -109,13 +109,34 @@ class EammPipeline:
         return kp_source, smoothed, kp_initial, deco
 
     def _emotion_stage_impl(self, variables, transformed_frames, kp_value,
-                            kp_jacobian):
-        """Per-frame emotion displacements, smoothed (ref:demo.py:221-238)."""
+                            kp_jacobian, frame_index=None):
+        """Per-frame emotion displacements, smoothed (ref:demo.py:221-238).
+
+        When ``frame_index`` is given, ``transformed_frames`` holds only the
+        UNIQUE emotion frames and ``frame_index[t]`` maps timestep -> frame
+        (the demo cycles a short emotion clip via np.resize,
+        ref:demo.py:499-500): the heavy trunk (hourglass + ResNet at 256^2)
+        runs once per unique frame and only the cheap keypoint-conditioned
+        MLP heads run per timestep — the reference's own
+        ``emotion_feature`` decomposition (ref:modules/util.py:1459-1475).
+        """
         o = self.options
         m, v = self.models, variables
         head = _EMO_HEAD[o.emo_type]
-        kp, _ = m["emo_detector"].apply(v["emo_detector"], transformed_frames,
-                                        kp_value, kp_jacobian, head=head)
+        emo_model = m["emo_detector"]
+        if frame_index is not None and head == "linear" \
+                and hasattr(emo_model, "emotion_feature"):
+            feats_u = emo_model.apply(v["emo_detector"], transformed_frames,
+                                      method=emo_model.feature)     # [U,512]
+            feats = feats_u[frame_index]                            # [T,512]
+            kp, _ = emo_model.apply(v["emo_detector"], feats, kp_value,
+                                    kp_jacobian,
+                                    method=emo_model.emotion_feature)
+        else:
+            if frame_index is not None:   # non-linear heads: full per-frame
+                transformed_frames = transformed_frames[frame_index]
+            kp, _ = emo_model.apply(v["emo_detector"], transformed_frames,
+                                    kp_value, kp_jacobian, head=head)
         emo = {"value": kp["value"], "jacobian": kp["jacobian"]}
         return {
             "value": one_euro_filter(emo["value"], mincutoff=1.0, beta=0.2,
@@ -171,9 +192,15 @@ class EammPipeline:
             kp_audio = {k: jnp.broadcast_to(kp_initial[k][:1], v.shape)
                         for k, v in kp_audio.items()}
         if add_emo:
+            Tp = kp_audio["value"].shape[0]
+            U = transformed_frames.shape[0]
+            frame_index = jnp.arange(Tp) % U if U < Tp else None
+            if frame_index is None:
+                transformed_frames = transformed_frames[:Tp]
             emo = self._emotion_stage_impl(
                 variables, transformed_frames,
-                kp_audio["value"], kp_audio["jacobian"])
+                kp_audio["value"], kp_audio["jacobian"],
+                frame_index=frame_index)
             kp_driving = self._compose_kp_impl(kp_audio, emo)
         else:
             kp_driving = kp_audio
@@ -360,12 +387,12 @@ class EammPipeline:
         if add_emo:
             if transformed_video is None:
                 raise ValueError("add_emo requires transformed_video frames")
+            # keep only the unique frames; the fused program cycles them with
+            # modular indexing (== np.resize semantics, ref:demo.py:499-500)
             frames = np.asarray(transformed_video, np.float32)
-            if len(frames) < Tp:
-                frames = np.resize(frames, (Tp,) + frames.shape[1:])
             emo_frames = jnp.asarray(frames[:Tp])
         else:
-            emo_frames = jnp.zeros((Tp, 256, 256, 3), jnp.float32)
+            emo_frames = jnp.zeros((1, 256, 256, 3), jnp.float32)
 
         src = jnp.asarray(source_image, jnp.float32)[None]
         out = self._full_render(self.vars, src, jnp.asarray(windows_p),

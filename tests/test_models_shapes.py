@@ -133,6 +133,27 @@ def test_emotion_k_shapes():
         assert fake.shape == (2, 8)
 
 
+def test_emotion_feature_decomposition_matches_forward():
+    """feature() -> emotion_feature() must equal the fused 'linear' head
+    (the inference fast path computes the trunk only on unique frames)."""
+    model = EmotionK(block_expansion=32, max_features=128, num_blocks=5)
+    x = jax.random.uniform(KEY, (2, 256, 256, 3))
+    kp = _kp(2, 10, 6)
+    variables = model.init(KEY, x, kp["value"], kp["jacobian"], head="all")
+    full, fake_full = model.apply(variables, x, kp["value"], kp["jacobian"],
+                                  head="linear")
+    feats = model.apply(variables, x, method=model.feature)
+    split, fake_split = model.apply(variables, feats, kp["value"],
+                                    kp["jacobian"],
+                                    method=model.emotion_feature)
+    np.testing.assert_allclose(np.asarray(full["value"]),
+                               np.asarray(split["value"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(full["jacobian"]),
+                               np.asarray(split["jacobian"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fake_full), np.asarray(fake_split),
+                               atol=1e-6)
+
+
 def test_emotion_map_shapes():
     model = EmotionMap(block_expansion=32, max_features=256, num_blocks=5)
     x = jnp.zeros((2, 256, 256, 3))
