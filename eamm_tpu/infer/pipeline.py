@@ -418,6 +418,9 @@ class EammPipeline:
         kp_source, kp_audio, kp_initial, _ = self._audio_kp_stage(
             self.vars, src, jnp.asarray(windows_p), jnp.asarray(pose_p))
         kp_audio = {k: v[:T] for k, v in kp_audio.items()}
+        if o.check_add:
+            kp_audio = {k: jnp.broadcast_to(kp_initial[k][:1], v.shape)
+                        for k, v in kp_audio.items()}
 
         if add_emo:
             if transformed_video is None:
