@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from eamm_tpu.models.blocks import (BatchNorm, ConvBlock, ConvTranspose,
+from eamm_tpu.models.blocks import (dense, BatchNorm, ConvBlock, ConvTranspose,
                                     DownBlock)
 
 
@@ -95,8 +95,8 @@ class AudioEncoder(nn.Module):
         x = ConvBlock(512, name="conv4")(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
         x = x.reshape(x.shape[0], -1)                         # [N, 12288]
-        x = nn.relu(nn.Dense(2048, name="fc0")(x))
-        x = nn.relu(nn.Dense(256, name="fc1")(x))
+        x = nn.relu(dense(2048, name="fc0")(x))
+        x = nn.relu(dense(256, name="fc1")(x))
         return x
 
 
@@ -105,8 +105,8 @@ class PoseEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, pose: jnp.ndarray) -> jnp.ndarray:
-        x = nn.relu(nn.Dense(128, name="fc0")(pose))
-        return nn.relu(nn.Dense(256, name="fc1")(x))
+        x = nn.relu(dense(128, name="fc0")(pose))
+        return nn.relu(dense(256, name="fc1")(x))
 
 
 class FeatureDecoder(nn.Module):

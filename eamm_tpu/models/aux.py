@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from eamm_tpu.models.blocks import BatchNorm, ConvBlock, ConvTranspose
+from eamm_tpu.models.blocks import dense, BatchNorm, ConvBlock, ConvTranspose
 from eamm_tpu.models.audio import (LSTM, ImageEncoder, AudioEncoder,
                                    PoseEncoder, FeatureDecoder)
 from eamm_tpu.models.emotion import ResNetTrunk
@@ -59,8 +59,8 @@ class EmotionNet(nn.Module):
         x = nn.max_pool(x, (1, 2), strides=(1, 2), padding="VALID")
         # torch flattens NCHW [B,512,1,6]; ours is [B,1,6,512]
         x = jnp.swapaxes(x, 1, 3).reshape(x.shape[0], -1)
-        x = nn.relu(nn.Dense(2048, name="fc0")(x))
-        return nn.relu(nn.Dense(128, name="fc1")(x))
+        x = nn.relu(dense(2048, name="fc0")(x))
+        return nn.relu(dense(128, name="fc1")(x))
 
 
 class AF2F(nn.Module):
@@ -148,7 +148,7 @@ class EmDetector(nn.Module):
         fm = Hourglass(self.block_expansion, self.num_blocks,
                        self.max_features, name="predictor")(x, train)
         out = ResNetTrunk(name="trunk")(fm, train)
-        fake = nn.Dense(self.num_classes, name="classify")(out)
+        fake = dense(self.num_classes, name="classify")(out)
         return out, fake
 
 
@@ -207,7 +207,7 @@ class TFNet(nn.Module):
             lstm_out = LSTM(256, 3, name="lstm_two")(feats)
         elif self.mode == "adain_input":
             h = _InstanceNorm1x1(name="instance_norm")(feats)
-            style = nn.Dense(2 * feats.shape[-1], name="style_mod")(
+            style = dense(2 * feats.shape[-1], name="style_mod")(
                 emo_features)
             scale, bias = jnp.split(style, 2, axis=-1)
             feats = h * (scale + 1.0) + bias
@@ -222,7 +222,7 @@ class TFNet(nn.Module):
         deco = deco.reshape(B, T, *deco.shape[1:])
         if self.mode == "adain_output":
             h = _InstanceNorm1x1(name="instance_norm")(deco)
-            style = nn.Dense(2 * 35, name="style_mod1")(emo_features)
+            style = dense(2 * 35, name="style_mod1")(emo_features)
             scale, bias = jnp.split(style, 2, axis=-1)
             deco = h * (scale[:, :, None, None, :] + 1.0) \
                 + bias[:, :, None, None, :]

@@ -62,17 +62,50 @@ class BatchNorm(nn.Module):
         return out
 
 
+# torch nn.Conv2d/Linear default init: kaiming_uniform(a=sqrt(5)) for the
+# kernel == U(+-sqrt(1/fan_in)); bias U(+-1/sqrt(fan_in)).  Matching it keeps
+# from-scratch training dynamics comparable to the reference.
+_torch_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform")
+
+
+def _torch_bias_init(key, shape, dtype=jnp.float32, fan_in=None):
+    bound = 1.0 / (fan_in ** 0.5) if fan_in else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _bias_init_for(fan_in):
+    def init(key, shape, dtype=jnp.float32):
+        return _torch_bias_init(key, shape, dtype, fan_in)
+    return init
+
+
 def conv(features: int, kernel: int | tuple[int, int], *,
          stride: int | tuple[int, int] = 1,
          padding: int | tuple[int, int] = 0,
-         use_bias: bool = True, groups: int = 1, name: str | None = None) -> nn.Conv:
-    """2-D conv with torch-style symmetric zero padding."""
+         use_bias: bool = True, groups: int = 1, in_features: int | None = None,
+         name: str | None = None) -> nn.Conv:
+    """2-D conv with torch-style symmetric zero padding and torch default
+    initialization (bias fan-in needs ``in_features``; falls back to zeros)."""
     k = (kernel, kernel) if isinstance(kernel, int) else tuple(kernel)
     s = (stride, stride) if isinstance(stride, int) else tuple(stride)
     p = (padding, padding) if isinstance(padding, int) else tuple(padding)
+    bias_init = (_bias_init_for(in_features * k[0] * k[1] // groups)
+                 if in_features else nn.initializers.zeros)
     return nn.Conv(features, kernel_size=k, strides=s,
                    padding=((p[0], p[0]), (p[1], p[1])),
-                   use_bias=use_bias, feature_group_count=groups, name=name)
+                   use_bias=use_bias, feature_group_count=groups,
+                   kernel_init=_torch_kernel_init, bias_init=bias_init,
+                   name=name)
+
+
+def dense(features: int, in_features: int | None = None,
+          name: str | None = None) -> nn.Dense:
+    """Dense layer with torch nn.Linear default initialization."""
+    bias_init = (_bias_init_for(in_features) if in_features
+                 else nn.initializers.zeros)
+    return nn.Dense(features, kernel_init=_torch_kernel_init,
+                    bias_init=bias_init, name=name)
 
 
 class ConvTranspose(nn.Module):

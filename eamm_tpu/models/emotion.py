@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import flax.linen as nn
 
-from eamm_tpu.models.blocks import BatchNorm, Hourglass, ConvTranspose, conv
+from eamm_tpu.models.blocks import dense, BatchNorm, Hourglass, ConvTranspose, conv
 from eamm_tpu.models.kp_detector import _KPHead
 from eamm_tpu.ops.antialias import antialias_downsample
 
@@ -91,7 +91,7 @@ class _MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         for i, f in enumerate(self.features):
-            x = nn.relu(nn.Dense(f, name=f"{self.name_prefix}{i}")(x))
+            x = nn.relu(dense(f, name=f"{self.name_prefix}{i}")(x))
         return x
 
 
@@ -126,7 +126,7 @@ class EmotionK(nn.Module):
         self.fc_n = _MLP((128, 512), name="fc_n")
         self.fc_all = _MLP((512, 256, 64), name="fc_all")
         self.fc_single = _MLP((256, 64), name="fc_single")
-        self.classify = nn.Dense(self.num_classes, name="classify")
+        self.classify = dense(self.num_classes, name="classify")
         # final: Conv1d(1,2,4,2,1) -> MaxPool1d(2,2) -> ReLU -> Conv1d(2,4,4,2,1)
         #        -> ReLU -> Conv1d(4,4,3)       (ref:modules/util.py:1287-1295)
         self.final_c0 = Conv1dBlock(2, 4, 2, 1, name="final_c0")
@@ -255,7 +255,7 @@ class EmotionMap(nn.Module):
         self.trunk = ResNetTrunk(name="trunk")
         self.fc_p = _MLP((1024, 512), name="fc_p")
         self.fc_all = _MLP((2048,), name="fc_all")
-        self.classify = nn.Dense(self.num_classes, name="classify")
+        self.classify = dense(self.num_classes, name="classify")
         self.decon = [ConvTranspose(128, 4, 2, 1, name="decon0"),
                       ConvTranspose(64, 4, 2, 1, name="decon1"),
                       ConvTranspose(64, 4, 2, 1, name="decon2"),
