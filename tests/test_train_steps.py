@@ -62,13 +62,15 @@ def test_part1_step_runs_and_learns():
     step = jax.jit(make_part1_step(models, TRAIN_PARAMS, opt))
 
     values = []
-    for _ in range(10):
+    for _ in range(14):
         state, m = step(state, batch)
         values.append(float(m["loss_value"]))
     assert np.isfinite(float(m["total"]))
     # same batch re-fed: the kp value-mimic loss must trend down
-    assert np.mean(values[-3:]) < values[0]
-    assert int(state.step) == 10
+    # (mean of the last quarter below mean of the first quarter; single-step
+    # comparisons are noisy through the adam warm-up transient)
+    assert np.mean(values[-4:]) < np.mean(values[:4])
+    assert int(state.step) == 14
 
 
 def test_part1_step_sharded_matches_single_device():
