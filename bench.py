@@ -74,10 +74,16 @@ def main():
     # production path converts to 12 bpp yuv420 on-device (codec-equivalent
     # loss: the encoder performs the identical conversion otherwise) and
     # fetches with concurrent streams.  RGB delivery is reported in detail.
+    # compute_dtype=bfloat16 affects only the generator decode convs (the
+    # keypoint path stays f32): measured max luma delta 1/255, p99 = 0 vs
+    # f32 at production config (guarded by test_bf16_render_quality).
+    import jax.numpy as jnp
     pipe = EammPipeline.from_random(
         FULL_CONFIG, options=PipelineOptions(frame_chunk=128, time_bucket=128,
                                              add_emo=False,
-                                             transfer_format="yuv420"))
+                                             transfer_format="yuv420",
+                                             fetch_streams=8,
+                                             compute_dtype=jnp.bfloat16))
     rng = np.random.RandomState(0)
     src = rng.rand(256, 256, 3).astype(np.float32)
     wav = (0.1 * rng.randn(16000 * 10)).astype(np.float32)   # 10 s clip

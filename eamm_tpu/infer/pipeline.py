@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from eamm_tpu import config as cfg
-from eamm_tpu.ops.mfcc import audio_to_mfcc_windows
+from eamm_tpu.ops.mfcc import (audio_to_mfcc_windows, num_windows_for_samples,
+                               min_samples_for_windows)
 from eamm_tpu.ops.filters import one_euro_filter
 from eamm_tpu.ops.motion import normalize_kp, convex_hull_area
 from eamm_tpu.ops.colorspace import rgb_to_yuv420, yuv420_to_rgb
@@ -182,16 +183,21 @@ class EammPipeline:
                         method=gen.decode)
         return out["prediction"]
 
-    def _full_render_impl(self, variables, source_image, mfcc_windows, pose,
+    def _full_render_impl(self, variables, source_image, waveform, pose,
                           transformed_frames, add_emo: bool):
-        """Entire clip in one XLA program: audio -> kp -> (emotion) ->
-        normalize -> chunked batched rendering -> uint8 frames.
+        """Entire clip in one XLA program: raw waveform -> MFCC -> kp ->
+        (emotion) -> normalize -> chunked batched rendering -> frames.
 
-        transformed_frames: [Tp, 256, 256, 3] (ignored unless add_emo).
-        Returns uint8 [Tp, 256, 256, 3].
+        The MFCC frontend runs inline (the waveform is zero-padded on the
+        host so the window count is the static bucketed frame count) —
+        one device dispatch for the whole clip, no separate audio round
+        trip.  transformed_frames: [Tp, 256, 256, 3] (ignored unless
+        add_emo).  Returns uint8 [Tp, 256, 256, 3] (or yuv420 planes).
         """
         o = self.options
         dt = o.compute_dtype
+        Tp = pose.shape[0]
+        mfcc_windows = audio_to_mfcc_windows(waveform)[:Tp]
         kp_source, kp_audio, kp_initial, _ = self._audio_kp_stage_impl(
             variables, source_image, mfcc_windows, pose)
         if o.check_add:
@@ -452,11 +458,11 @@ class EammPipeline:
         y, u, v = self._full_render(self.vars, *args, add_emo=add_emo)
         ns = max(1, o.fetch_streams)
         ny = max(1, (2 * ns) // 3)   # Y holds 2/3 of the bytes
-        q = [y.shape[0] * i // ny for i in range(ny + 1)]
-        parts = [y[q[i]:q[i + 1]] for i in range(ny)] + [u, v]
+        q = [T * i // ny for i in range(ny + 1)]   # padded tail never fetched
+        parts = [y[q[i]:q[i + 1]] for i in range(ny)] + [u[:T], v[:T]]
         fetched = fetch_parallel(parts)
-        return (np.concatenate(fetched[:ny], axis=0)[:T],
-                fetched[ny][:T], fetched[ny + 1][:T])
+        return (np.concatenate(fetched[:ny], axis=0),
+                fetched[ny], fetched[ny + 1])
 
     def _render_rgb_uint8(self, source_image, waveform, all_pose,
                           transformed_video=None, add_emo=None) -> np.ndarray:
@@ -473,14 +479,19 @@ class EammPipeline:
 
     def _prepare_full_render_args(self, source_image, waveform, all_pose,
                                   transformed_video, add_emo):
-        """Host-side input prep shared by the rgb and yuv420 fast paths."""
+        """Host-side input prep shared by the rgb and yuv420 fast paths.
+
+        The frame count is pure shape arithmetic on the waveform length, so
+        no device round trip happens here: the waveform is zero-padded to
+        the bucketed length and the fused program computes MFCC inline."""
         o = self.options
-        windows = self.audio_to_windows(waveform)
-        T = windows.shape[0]
+        waveform = np.asarray(waveform, np.float32).reshape(-1)
+        T = num_windows_for_samples(waveform.shape[0])
         bucket = _bucket(o.time_bucket, o.frame_chunk)
         Tp = _bucket(T, bucket)
-        windows_p = np.zeros((Tp,) + windows.shape[1:], np.float32)
-        windows_p[:T] = windows
+        n_samples = max(waveform.shape[0], min_samples_for_windows(Tp))
+        wav_p = np.zeros(n_samples, np.float32)
+        wav_p[:waveform.shape[0]] = waveform
         pose_p = np.zeros((Tp, 6), np.float32)
         pose_p[:T] = self.prepare_pose(all_pose, T)
 
@@ -495,7 +506,7 @@ class EammPipeline:
             emo_frames = jnp.zeros((1, 256, 256, 3), jnp.float32)
 
         src = jnp.asarray(source_image, jnp.float32)[None]
-        return T, (src, jnp.asarray(windows_p), jnp.asarray(pose_p),
+        return T, (src, jnp.asarray(wav_p), jnp.asarray(pose_p),
                    emo_frames)
 
     def _render_staged(self, source_image, waveform, all_pose,

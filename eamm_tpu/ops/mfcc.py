@@ -138,3 +138,22 @@ def audio_to_mfcc_windows(signal: jnp.ndarray) -> jnp.ndarray:
     reference's 1920-sample zero padding (ref:demo.py:316-318)."""
     padded = jnp.pad(signal.astype(jnp.float32), (PAD_SAMPLES, PAD_SAMPLES))
     return mfcc_windows(mfcc(padded))
+
+
+def num_windows_for_samples(n_samples: int) -> int:
+    """Host-side shape arithmetic: windows produced by
+    :func:`audio_to_mfcc_windows` for a raw signal of ``n_samples``."""
+    return num_windows(num_mfcc_frames(n_samples + 2 * PAD_SAMPLES))
+
+
+def min_samples_for_windows(t: int) -> int:
+    """Smallest raw-signal length whose window count is >= ``t`` (used to
+    zero-pad a waveform so the fused whole-clip program — which computes the
+    MFCC frontend inline — yields a static bucketed frame count)."""
+    # num_windows(M) >= t  <=>  M >= 4 * (t + 6)
+    m = 4 * (t + 6)
+    # num_mfcc_frames(n) >= m  <=>  n > WIN_LEN + (m - 2) * WIN_STEP
+    n = WIN_LEN + (m - 2) * WIN_STEP + 1 - 2 * PAD_SAMPLES
+    while num_windows_for_samples(n) < t:       # guard the ceil boundary
+        n += WIN_STEP
+    return n

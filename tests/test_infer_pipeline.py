@@ -134,3 +134,19 @@ def test_yuv420_batch_transfer(pipeline):
     back = yuv420_to_rgb(y, u, v)
     err = np.abs(back.astype(np.float32) - rgb.astype(np.float32)) / 255.0
     assert err.mean() < 5e-3
+
+
+def test_bf16_render_quality(pipeline):
+    """bf16 decode (the bench configuration) is visually lossless: the
+    keypoint path stays f32, only generator convs run bf16."""
+    import jax.numpy as jnp
+    src, wav, pose, _ = _inputs(seed=7)
+    rgb_f32 = pipeline.render_uint8(src, wav, pose, add_emo=False)
+    bf16_pipe = EammPipeline(
+        pipeline.config, pipeline.vars,
+        options=PipelineOptions(frame_chunk=8, time_bucket=32,
+                                compute_dtype=jnp.bfloat16))
+    rgb_bf16 = bf16_pipe.render_uint8(src, wav, pose, add_emo=False)
+    d = np.abs(rgb_f32.astype(np.float32) - rgb_bf16.astype(np.float32))
+    assert d.mean() < 0.5           # in uint8 counts
+    assert np.percentile(d, 99) <= 2.0
