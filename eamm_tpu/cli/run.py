@@ -30,6 +30,11 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--audio_checkpoint", default=None,
                         help="torch audio .pth.tar (part2 frozen A2FD, "
                              "ref:train.py:283-308)")
+    parser.add_argument("--vgg_checkpoint", default=None,
+                        help="torchvision vgg19 state_dict (.pth) for the "
+                             "fine-tune perceptual loss "
+                             "(ref:modules/model.py:10-24); random VGG "
+                             "features are used (with a warning) otherwise")
     parser.add_argument("--max_steps", type=int, default=None,
                         help="stop after N optimizer steps (smoke runs)")
     parser.add_argument("--seed", type=int, default=0)
@@ -100,8 +105,15 @@ def main(argv=None):
                     (clip * 255).astype("uint8"))
         print(f"saved {len(clips)} animations to {out_dir}")
         return clips
+    vgg_params = None
+    if opt.vgg_checkpoint:
+        from eamm_tpu import compat
+        from eamm_tpu.models.vgg import convert_vgg19
+        vgg_params = convert_vgg19(
+            compat.load_torch_checkpoint(opt.vgg_checkpoint))["params"]
     return train(config, opt.mode, log_dir, checkpoint=opt.checkpoint,
                  max_steps=opt.max_steps, seed=opt.seed,
+                 vgg_params=vgg_params,
                  fomm_checkpoint=opt.fomm_checkpoint,
                  audio_checkpoint=opt.audio_checkpoint)
 

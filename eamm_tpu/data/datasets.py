@@ -361,21 +361,47 @@ class DataLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        cancel = threading.Event()
 
         def producer():
+            # Lazy bounded submission: at most prefetch + num_workers batches
+            # are materialized at any time even when the consumer stalls
+            # (submitting everything up front lets completed futures —
+            # ~107 MB per part1 batch — accumulate without bound).
+            from collections import deque
             from concurrent.futures import ThreadPoolExecutor
+            it = iter(batches)
             with ThreadPoolExecutor(self.num_workers) as pool:
-                futures = [pool.submit(
-                    lambda b=b: self._collate([self.dataset[i] for i in b]))
-                    for b in batches]
-                for fut in futures:
-                    q.put(fut.result())
-            q.put(stop)
+                pending: deque = deque()
+
+                def submit_next():
+                    b = next(it, None)
+                    if b is not None:
+                        pending.append(pool.submit(
+                            lambda b=b: self._collate(
+                                [self.dataset[i] for i in b])))
+
+                for _ in range(self.num_workers):
+                    submit_next()
+                while pending and not cancel.is_set():
+                    item = pending.popleft().result()
+                    while not cancel.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    submit_next()
+            if not cancel.is_set():
+                q.put(stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield item
+        finally:
+            cancel.set()

@@ -5,4 +5,6 @@ from eamm_tpu.train.losses import (image_pyramid, perceptual_loss,
 from eamm_tpu.train.optim import make_optimizer, multistep_schedule
 from eamm_tpu.train.steps import (Part1State, make_part1_step, init_part1_state,
                                   Part2State, make_part2_step, init_part2_state,
+                                  Part1GanState, make_part1_gan_step,
+                                  init_part1_gan_state,
                                   make_discriminator_step, equivariance_losses)

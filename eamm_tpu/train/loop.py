@@ -141,17 +141,43 @@ def train(config: dict, mode: str, log_dir: str, checkpoint: str | None = None,
     example = _example_batch_spec(first_batch)
     rng = jax.random.PRNGKey(seed)
 
+    # GAN fine-tuning: the reference builds a discriminator optimizer and
+    # steps it every iteration during fine-tune (ref:train.py:136-152,
+    # 175-185); engaged when both GAN loss weights are nonzero.
+    weights = tp.get("loss_weights", {})
+    use_gan = (mode == "train_part1_fine_tune"
+               and weights.get("discriminator_gan", 0) != 0
+               and weights.get("generator_gan", 0) != 0)
+
     if mode in ("train_part1", "train_part1_fine_tune"):
         if models["vgg"] is not None and vgg_params is None:
             # random VGG features still provide a structural perceptual
-            # signal; pretrained weights load via compat.convert_vgg19
+            # signal, but reference-parity fine-tune quality needs the
+            # pretrained weights (--vgg_checkpoint -> compat.convert_vgg19)
+            import warnings
+            warnings.warn(
+                "fine-tune perceptual loss is using RANDOM VGG19 features; "
+                "pass --vgg_checkpoint (torchvision vgg19 state_dict) for "
+                "reference-parity quality (ref:modules/model.py:10-24)")
             vgg_params = models["vgg"].init(
                 rng, jnp.zeros((1, 64, 64, 3)))["params"]
-        state = S.init_part1_state(
-            rng, models, example, optimizer,
-            train_generator=(mode == "train_part1_fine_tune"),
-            vgg_params=vgg_params)
-        step_fn = S.make_part1_step(models, tp, optimizer)
+        if use_gan:
+            disc_optimizer = make_optimizer(
+                lr=float(tp.get("lr_discriminator",
+                                tp.get("lr_audio_feature", 2e-4))),
+                milestones_epochs=tp.get("epoch_milestones", (60, 90)),
+                steps_per_epoch=steps_per_epoch)
+            state = S.init_part1_gan_state(rng, models, example, optimizer,
+                                           disc_optimizer,
+                                           vgg_params=vgg_params)
+            step_fn = S.make_part1_gan_step(models, tp, optimizer,
+                                            disc_optimizer)
+        else:
+            state = S.init_part1_state(
+                rng, models, example, optimizer,
+                train_generator=(mode == "train_part1_fine_tune"),
+                vgg_params=vgg_params)
+            step_fn = S.make_part1_step(models, tp, optimizer)
     elif mode == "train_part2":
         state = S.init_part2_state(rng, models, example, optimizer)
         step_fn = S.make_part2_step(models, tp, optimizer)

@@ -106,13 +106,11 @@ def init_part1_state(rng, models: dict, batch: dict, optimizer,
                       optimizer.init(trainable), jnp.zeros((), jnp.int32))
 
 
-def make_part1_step(models: dict, train_params: dict,
-                    optimizer) -> Callable:
-    """Build the part1 / fine-tune step function.
-
-    train_params keys used: loss_weights{audio, perceptual, generator_gan},
-    generator ('not'|'visual'|'audio'), scales (ref:config/train_part1.yaml).
-    """
+def _make_part1_loss(models: dict, train_params: dict) -> Callable:
+    """Shared part1/fine-tune loss: ``(trainable, frozen, batch_stats,
+    batch) -> (total, (metrics, new_stats, gen_out))`` where ``gen_out``
+    (generated frame-0 prediction + its driving kp) feeds the alternating
+    discriminator step when GAN weights are on, else None."""
     weights = train_params["loss_weights"]
     gen_mode = train_params.get("generator", "not")
     scales = tuple(train_params.get("scales", (1, 0.5, 0.25, 0.125)))
@@ -125,6 +123,7 @@ def make_part1_step(models: dict, train_params: dict,
     def loss_fn(trainable, frozen, batch_stats, batch):
         params = {**frozen, **trainable}
         B, T = batch["driving"].shape[:2]
+        gen_out = None
         driving = _fold(batch["driving"])
 
         kp_driving = _apply_kp_detector(
@@ -166,14 +165,15 @@ def make_part1_step(models: dict, train_params: dict,
             gen_stats = batch_stats["generator"]
             disc_scales = tuple(models["discriminator"].scales) \
                 if use_gan else ()
-            last_generated = None
             for i in percep_frames:
                 generated, gen_updates = models["generator"].apply(
                     {"params": params["generator"], "batch_stats": gen_stats},
                     batch["example_image"], frame_kp(kp_branch, i), kp_source,
                     train=True, mutable=["batch_stats"])
                 gen_stats = gen_updates["batch_stats"]
-                last_generated = generated
+                if i == percep_frames[0]:
+                    gen_out = {"prediction": generated["prediction"],
+                               "kp_driving": frame_kp(kp_branch, i)}
                 pyr_real = L.image_pyramid(batch["driving"][:, i], scales)
                 pyr_gen = L.image_pyramid(generated["prediction"], scales)
                 percep_total += L.perceptual_loss(
@@ -208,10 +208,22 @@ def make_part1_step(models: dict, train_params: dict,
             if "generator" in trainable:
                 new_stats["generator"] = gen_stats
 
-        return total, (metrics, new_stats)
+        return total, (metrics, new_stats, gen_out)
+
+    return loss_fn
+
+
+def make_part1_step(models: dict, train_params: dict,
+                    optimizer) -> Callable:
+    """Build the part1 / fine-tune step function.
+
+    train_params keys used: loss_weights{audio, perceptual, generator_gan},
+    generator ('not'|'visual'|'audio'), scales (ref:config/train_part1.yaml).
+    """
+    loss_fn = _make_part1_loss(models, train_params)
 
     def step(state: Part1State, batch: dict):
-        grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(
+        grads, (metrics, new_stats, _) = jax.grad(loss_fn, has_aux=True)(
             state.trainable, state.frozen, state.batch_stats, batch)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.trainable)
@@ -219,6 +231,77 @@ def make_part1_step(models: dict, train_params: dict,
         metrics["total"] = sum(v for k, v in metrics.items())
         return Part1State(trainable, state.frozen, new_stats, opt_state,
                           state.step + 1), metrics
+
+    return step
+
+
+class Part1GanState(NamedTuple):
+    """Fine-tune state with an alternating LSGAN discriminator: the
+    reference keeps separate generator-side and discriminator optimizers
+    and steps both every iteration (ref:train.py:136-152,175-185)."""
+    trainable: dict           # audio_feature, kp_detector_a, generator
+    frozen: dict              # kp_detector, vgg
+    batch_stats: dict         # incl. 'discriminator'
+    opt_state: Any
+    step: jnp.ndarray
+    disc_params: dict
+    disc_opt_state: Any
+
+
+def init_part1_gan_state(rng, models: dict, batch: dict, optimizer,
+                         disc_optimizer,
+                         vgg_params: dict | None = None) -> Part1GanState:
+    """Fine-tune state with trainable generator AND discriminator."""
+    k1, k2 = jax.random.split(rng)
+    disc_scales = tuple(models["discriminator"].scales)
+    ex = batch["example_image"]
+    pyr = L.image_pyramid(ex, disc_scales)
+    num_kp = models["generator"].num_kp
+    kp0 = {"value": jnp.zeros((ex.shape[0], num_kp, 2)),
+           "jacobian": jnp.broadcast_to(jnp.eye(2),
+                                        (ex.shape[0], num_kp, 2, 2))}
+    disc_vars = models["discriminator"].init(
+        k2, {f"prediction_{s}": pyr[f"prediction_{s}"] for s in disc_scales},
+        kp0)
+    base = init_part1_state(k1, models, batch, optimizer,
+                            train_generator=True, vgg_params=vgg_params,
+                            discriminator_vars=disc_vars)
+    frozen = dict(base.frozen)
+    disc_params = frozen.pop("discriminator")
+    return Part1GanState(base.trainable, frozen, base.batch_stats,
+                         base.opt_state, base.step, disc_params,
+                         disc_optimizer.init(disc_params))
+
+
+def make_part1_gan_step(models: dict, train_params: dict, optimizer,
+                        disc_optimizer) -> Callable:
+    """Fine-tune step with per-iteration generator/discriminator
+    alternation (ref:train.py:175-185; ref:modules/model.py:557-591):
+    the generator side sees the current discriminator frozen; the
+    discriminator then trains on the freshly generated frame."""
+    loss_fn = _make_part1_loss(models, train_params)
+    disc_step = make_discriminator_step(models, train_params, disc_optimizer)
+
+    def step(state: Part1GanState, batch: dict):
+        frozen = dict(state.frozen)
+        frozen["discriminator"] = state.disc_params
+        grads, (metrics, new_stats, gen_out) = jax.grad(
+            loss_fn, has_aux=True)(state.trainable, frozen,
+                                   state.batch_stats, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        metrics["total"] = sum(v for k, v in metrics.items())
+
+        disc_params, disc_stats, disc_opt_state, dmetrics = disc_step(
+            state.disc_params, new_stats["discriminator"],
+            state.disc_opt_state, batch, gen_out)
+        new_stats = dict(new_stats)
+        new_stats["discriminator"] = disc_stats
+        metrics.update(dmetrics)
+        return Part1GanState(trainable, state.frozen, new_stats, opt_state,
+                             state.step + 1, disc_params,
+                             disc_opt_state), metrics
 
     return step
 

@@ -31,3 +31,29 @@ _CACHE_DIR = os.path.join(REPO_ROOT, ".jax_cache")
 os.makedirs(_CACHE_DIR, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+# ---------------------------------------------------------------- fixtures
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def lrw_root(tmp_path_factory):
+    """Synthetic LRW-layout dataset on disk (Image/MFCC/pose trees)."""
+    import imageio.v2 as imageio
+    root = tmp_path_factory.mktemp("lrw256")
+    rng = np.random.RandomState(0)
+    for clip in ["A/c0", "A/c1"]:
+        img = root / "Image" / "train_fo" / clip
+        mfcc = root / "MFCC" / "train" / clip
+        img.mkdir(parents=True)
+        mfcc.mkdir(parents=True)
+        pose_dir = root / "pose" / "train_fo" / clip.split("/")[0]
+        pose_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(30):
+            imageio.imwrite(str(img / f"{i}.png"),
+                            (rng.rand(256, 256, 3) * 255).astype(np.uint8))
+            np.save(str(mfcc / f"{i}.npy"), rng.randn(28, 13))
+        np.save(str(pose_dir / f"{clip.split('/')[1]}.npy"), rng.randn(30, 7))
+    return str(root)

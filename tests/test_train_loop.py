@@ -51,24 +51,7 @@ SMALL_CONFIG = {
 }
 
 
-@pytest.fixture(scope="module")
-def lrw_root(tmp_path_factory):
-    import imageio.v2 as imageio
-    root = tmp_path_factory.mktemp("lrw256")
-    rng = np.random.RandomState(0)
-    for clip in ["A/c0", "A/c1"]:
-        img = root / "Image" / "train_fo" / clip
-        mfcc = root / "MFCC" / "train" / clip
-        img.mkdir(parents=True)
-        mfcc.mkdir(parents=True)
-        pose_dir = root / "pose" / "train_fo" / clip.split("/")[0]
-        pose_dir.mkdir(parents=True, exist_ok=True)
-        for i in range(30):
-            imageio.imwrite(str(img / f"{i}.png"),
-                            (rng.rand(256, 256, 3) * 255).astype(np.uint8))
-            np.save(str(mfcc / f"{i}.npy"), rng.randn(28, 13))
-        np.save(str(pose_dir / f"{clip.split('/')[1]}.npy"), rng.randn(30, 7))
-    return str(root)
+# lrw_root fixture lives in conftest.py (shared with GAN loop test)
 
 
 def test_train_loop_part1(lrw_root, tmp_path):
