@@ -1,5 +1,8 @@
-"""Training-step throughput on the real chip: part1, full config, synthetic
-LRW-shaped batch.  Prints one JSON line {steps_per_sec, sec_per_step}."""
+"""Training-step throughput on the real chip: part1 / fine-tune / part2 at
+full config with synthetic LRW/MEAD-shaped batches.  Prints one JSON line
+per stage.  Select stages with EAMM_BENCH_STAGES=part1,fine_tune,part2
+(default: all three — fine-tune is the heaviest: generator training +
+VGG perceptual + GAN alternation, ref:train.py:133-270)."""
 from __future__ import annotations
 
 import json
@@ -12,20 +15,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(batch_size=8, steps=6, max_features=1024):
-    import jax
-    cache = os.path.expanduser("~/.cache/eamm_jax_cache")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
+def _models(max_features=1024):
     from eamm_tpu.models import (KPDetector, KPDetectorA, ATNet,
-                                 OcclusionAwareGenerator)
-    from eamm_tpu.train import (make_optimizer, make_part1_step,
-                                init_part1_state)
-    from eamm_tpu.utils import StepTimer
-
-    models = {
+                                 OcclusionAwareGenerator, EmotionK,
+                                 MultiScaleDiscriminator)
+    from eamm_tpu.models.vgg import Vgg19
+    return {
         "kp_detector": KPDetector(num_kp=10, block_expansion=32,
                                   max_features=max_features, num_blocks=5),
         "kp_detector_a": KPDetectorA(num_kp=10),
@@ -35,36 +30,122 @@ def main(batch_size=8, steps=6, max_features=1024):
             dense_motion_params=dict(block_expansion=64,
                                      max_features=max_features,
                                      num_blocks=5, scale_factor=0.25)),
+        "emo_detector": EmotionK(block_expansion=32, max_features=1024,
+                                 num_blocks=5),
+        "discriminator": MultiScaleDiscriminator(
+            scales=(1,), block_expansion=32, max_features=512, num_blocks=4,
+            sn=True),
+        "vgg": Vgg19(),
     }
-    tp = {"loss_weights": {"audio": 10, "perceptual": [0] * 5,
-                           "generator_gan": 0},
-          "generator": "not", "scales": [1]}
-    rng = np.random.RandomState(0)
-    B, T = batch_size, 16
+
+
+def _batch(rng, B, T=16, mead=False):
+    import jax.numpy as jnp
     batch = {
         "example_image": jnp.asarray(rng.rand(B, 256, 256, 3), jnp.float32),
         "driving": jnp.asarray(rng.rand(B, T, 256, 256, 3), jnp.float32),
         "driving_audio": jnp.asarray(rng.randn(B, T, 28, 12), jnp.float32),
         "driving_pose": jnp.asarray(rng.randn(B, T, 6), jnp.float32),
     }
-    opt = make_optimizer()
+    if mead:
+        batch["transformed_driving"] = jnp.asarray(
+            rng.rand(B, T, 256, 256, 3), jnp.float32)
+        batch["emotion"] = jnp.asarray(rng.randint(0, 8, (B,)), jnp.int32)
+    return batch
+
+
+def _run(name, step, state, batch, steps):
+    import jax.numpy as jnp
+    from eamm_tpu.utils import StepTimer
     t0 = time.time()
-    state = init_part1_state(jax.random.PRNGKey(0), models, batch, opt)
-    step = jax.jit(make_part1_step(models, tp, opt), donate_argnums=0)
     timer = StepTimer(warmup=1)
     losses = []
     for i in range(steps):
+        batch = dict(batch)
         batch["driving_audio"] = batch["driving_audio"] + 1e-6
         state, m = step(state, batch)
         losses.append(float(m["total"]))
         timer.tick()
     print(json.dumps({
-        "metric": "train_part1_steps_per_sec",
-        "batch_size": B,
+        "metric": f"{name}_steps_per_sec",
+        "batch_size": int(batch["driving"].shape[0]),
         **timer.summary(),
         "total_incl_compile_sec": round(time.time() - t0, 1),
         "final_loss": losses[-1],
     }))
+
+
+def bench_part1(steps=6, batch_size=8):
+    """Stage 1 (ref:train.py:18-130): kp-mimic only, bs 8."""
+    import jax
+    from eamm_tpu.train import (make_optimizer, make_part1_step,
+                                init_part1_state)
+    models = _models()
+    tp = {"loss_weights": {"audio": 10, "perceptual": [0] * 5,
+                           "generator_gan": 0},
+          "generator": "not", "scales": [1]}
+    batch = _batch(np.random.RandomState(0), batch_size)
+    opt = make_optimizer()
+    state = init_part1_state(jax.random.PRNGKey(0), models, batch, opt)
+    step = jax.jit(make_part1_step(models, tp, opt), donate_argnums=0)
+    _run("train_part1", step, state, batch, steps)
+
+
+def bench_fine_tune(steps=6, batch_size=6):
+    """Stage 1.5 (ref:train.py:133-270): trainable generator + VGG
+    perceptual on every 4th frame + LSGAN alternation — the heaviest step."""
+    import jax
+    import jax.numpy as jnp
+    from eamm_tpu.train import (make_optimizer, make_part1_gan_step,
+                                init_part1_gan_state)
+    models = _models()
+    tp = {"loss_weights": {"audio": 10,
+                           "perceptual": [0.1, 0.1, 0.1, 0.1, 0.1],
+                           "generator_gan": 1.0, "discriminator_gan": 1.0,
+                           "feature_matching": [10, 10, 10, 10]},
+          "generator": "audio", "scales": [1]}
+    batch = _batch(np.random.RandomState(1), batch_size)
+    g_opt, d_opt = make_optimizer(), make_optimizer()
+    rng = jax.random.PRNGKey(1)
+    vgg_params = models["vgg"].init(rng, jnp.zeros((1, 64, 64, 3)))["params"]
+    state = init_part1_gan_state(rng, models, batch, g_opt, d_opt,
+                                 vgg_params=vgg_params)
+    step = jax.jit(make_part1_gan_step(models, tp, g_opt, d_opt),
+                   donate_argnums=0)
+    _run("train_part1_fine_tune", step, state, batch, steps)
+
+
+def bench_part2(steps=6, batch_size=16):
+    """Stage 2 (ref:train.py:273-407): emotion displacement training, bs 16."""
+    import jax
+    from eamm_tpu.train import (make_optimizer, make_part2_step,
+                                init_part2_state)
+    models = _models()
+    tp = {"loss_weights": {"audio": 10, "emo": 10, "perceptual": [0] * 5,
+                           "generator_gan": 0},
+          "generator": "not", "scales": [1], "type": "linear_4",
+          "classify": True}
+    batch = _batch(np.random.RandomState(2), batch_size, mead=True)
+    opt = make_optimizer()
+    state = init_part2_state(jax.random.PRNGKey(2), models, batch, opt)
+    step = jax.jit(make_part2_step(models, tp, opt), donate_argnums=0)
+    _run("train_part2", step, state, batch, steps)
+
+
+def main():
+    import jax
+    cache = os.path.expanduser("~/.cache/eamm_jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    stages = os.environ.get("EAMM_BENCH_STAGES",
+                            "part1,fine_tune,part2").split(",")
+    if "part1" in stages:
+        bench_part1()
+    if "fine_tune" in stages:
+        bench_fine_tune()
+    if "part2" in stages:
+        bench_part2()
 
 
 if __name__ == "__main__":

@@ -90,6 +90,22 @@ def read_video(path: str) -> np.ndarray:
     return np.array(frames)[..., :3]
 
 
+def video_fps(path: str | None, default: float = 25.0) -> float:
+    """fps of a video file; ``default`` for npy arrays / unreadable files.
+    The reference writes neutral/emotion.mp4 at the driving video's fps
+    (ref:demo.py:480,507,514)."""
+    if not path or path.endswith(".npy"):
+        return default
+    try:
+        import imageio.v2 as imageio
+        reader = imageio.get_reader(path)
+        fps = reader.get_meta_data().get("fps", default)
+        reader.close()
+        return float(fps)
+    except Exception:
+        return default
+
+
 def write_video(path: str, frames_uint8: np.ndarray, fps: float = 25.0):
     try:
         import imageio.v2 as imageio
@@ -119,6 +135,17 @@ def add_audio(video_path: str, audio_path: str):
 
 def main(argv=None):
     opt = build_parser().parse_args(argv)
+
+    if opt.cpu:
+        # must precede the first jax backend query (one-shot; the container
+        # may pin a TPU plugin as default platform — CLAUDE.md gotcha)
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError as e:
+            import warnings
+            warnings.warn(f"--cpu requested but jax backends already "
+                          f"initialized: {e}")
 
     from eamm_tpu.config import load_config
     from eamm_tpu.data.preprocess import crop_image, align_clip, load_audio
@@ -167,16 +194,20 @@ def main(argv=None):
 
     os.makedirs(opt.result_path, exist_ok=True)
 
-    # ---- neutral + emotional passes (ref:demo.py:504-514)
+    # ---- neutral + emotional passes (ref:demo.py:504-514); neutral and
+    # emotion play at the driving video's fps, all.mp4 at 25
+    # (ref:demo.py:480,507,514,425)
+    out_fps = video_fps(opt.driving_video)
     neutral = pipe.render_uint8(src, waveform, all_pose, add_emo=False)
-    write_video(os.path.join(opt.result_path, "neutral.mp4"), neutral)
+    write_video(os.path.join(opt.result_path, "neutral.mp4"), neutral,
+                fps=out_fps)
     outputs = {"neutral": neutral}
     if opt.add_emo:
         emotion = pipe.render_uint8(src, waveform, all_pose,
                                     transformed_video=transformed,
                                     add_emo=True)
         path = write_video(os.path.join(opt.result_path, "emotion.mp4"),
-                           emotion)
+                           emotion, fps=out_fps)
         add_audio(os.path.join(opt.result_path, "emotion.mp4"), opt.in_file)
         outputs["emotion"] = emotion
         T = len(emotion)
@@ -184,7 +215,7 @@ def main(argv=None):
         drv8 = np.clip(np.round(drv * 255), 0, 255).astype(np.uint8)
         allv = np.concatenate([drv8, np.resize(neutral, emotion.shape),
                                emotion], axis=2)
-        write_video(os.path.join(opt.result_path, "all.mp4"), allv)
+        write_video(os.path.join(opt.result_path, "all.mp4"), allv, fps=25.0)
         add_audio(os.path.join(opt.result_path, "all.mp4"), opt.in_file)
     print({k: v.shape for k, v in outputs.items()})
     return outputs

@@ -101,3 +101,47 @@ def test_demo_cli_full_emotional_run(demo_env):
     produced = set(os.listdir(f"{d}/result"))
     assert {"neutral.npy", "emotion.npy", "all.npy"} <= produced \
         or {"neutral", "emotion", "all"} <= produced
+
+
+def test_demo_cli_fps_propagation_and_cpu(demo_env, monkeypatch):
+    """neutral/emotion play at the driving video's fps, all.mp4 at 25
+    (ref:demo.py:480,507,514,425); --cpu runs the pipeline on the cpu
+    platform (a no-op warning if backends are already up, as in tests)."""
+    import eamm_tpu.cli.demo as demo_mod
+    d = demo_env
+
+    written = {}
+
+    real_write = demo_mod.write_video
+
+    def spy_write(path, frames, fps=25.0):
+        written[os.path.basename(path)] = fps
+        return real_write(path, frames, fps=fps)
+
+    monkeypatch.setattr(demo_mod, "write_video", spy_write)
+    monkeypatch.setattr(demo_mod, "video_fps",
+                        lambda path, default=25.0: 30.0)
+
+    demo_mod.main([
+        "--config", f"{d}/config.yaml",
+        "--checkpoint", f"{d}/fomm.pth.tar",
+        "--audio_checkpoint", f"{d}/audio.pth.tar",
+        "--emo_checkpoint", f"{d}/emo.pth.tar",
+        "--source_image", f"{d}/source.png",
+        "--driving_video", f"{d}/emoclip.npy",
+        "--in_file", f"{d}/speech.wav",
+        "--pose_file", f"{d}/pose.npy",
+        "--result_path", f"{d}/result_fps",
+        "--add_emo", "true", "--type", "linear_3", "--emotion", "happy",
+        "--no_crop", "--no_align", "--cpu"])
+
+    assert written["neutral.mp4"] == 30.0
+    assert written["emotion.mp4"] == 30.0
+    assert written["all.mp4"] == 25.0
+
+
+def test_video_fps_fallbacks(tmp_path):
+    from eamm_tpu.cli.demo import video_fps
+    assert video_fps(None) == 25.0
+    assert video_fps("clip.npy") == 25.0
+    assert video_fps(str(tmp_path / "missing.mp4")) == 25.0

@@ -120,3 +120,79 @@ def test_neutral_demo_parity(oracles, pipeline):
     assert l1.max() < 1e-2, l1
     # much tighter in practice: uint8 rounding dominates
     assert l1.mean() < 3e-3, l1.mean()
+
+
+# ---------------------------------------------------------------------------
+# Production-size parity (VERDICT r1 item 3): the full train_part1.yaml
+# generator/kp/A2FD sizes (ref:config/train_part1.yaml:22-56) through the
+# converter, >=32 frames, asserting the BASELINE.json north star at the real
+# deployment configuration.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def oracles_full():
+    from tests.test_compat_generator import TDenseMotion
+    kp = TKPDetector(be=32, max_f=1024, num_blocks=5).eval()
+    kpa = TKPDetectorA().eval()
+    at = TATNet().eval()
+    gen = TGenerator(be=64, max_f=512, bottleneck=6)
+    gen.dense_motion_network = TDenseMotion(num_kp=10, be=64, max_f=1024,
+                                            blocks=5)
+    gen = gen.eval()
+    for m in (kp, kpa, at, gen):
+        _randomize_bn_stats(m)
+    return kp, kpa, at, gen
+
+
+@pytest.mark.slow
+def test_neutral_demo_parity_production_size(oracles_full):
+    kp, kpa, at, gen = oracles_full
+    sd = lambda m: {k: v.numpy() for k, v in m.state_dict().items()}
+    variables = {
+        "kp_detector": convert_kp_detector(sd(kp)),
+        "kp_detector_a": convert_kp_detector_a(sd(kpa)),
+        "audio_feature": convert_atnet(sd(at)),
+        "generator": convert_generator(sd(gen), num_down_blocks=2,
+                                       num_bottleneck_blocks=6,
+                                       dense_num_blocks=5),
+        "emo_detector": EammPipeline.from_random(
+            SMALL_CONFIG).vars["emo_detector"],
+    }
+    cfg = {
+        "model_params": {
+            **SMALL_CONFIG["model_params"],
+            "kp_detector_params": {"temperature": 0.1, "block_expansion": 32,
+                                   "max_features": 1024, "scale_factor": 0.25,
+                                   "num_blocks": 5},
+            "generator_params": {"block_expansion": 64, "max_features": 512,
+                                 "num_down_blocks": 2,
+                                 "num_bottleneck_blocks": 6,
+                                 "estimate_occlusion_map": True,
+                                 "dense_motion_params": {
+                                     "block_expansion": 64,
+                                     "max_features": 1024, "num_blocks": 5,
+                                     "scale_factor": 0.25}},
+        },
+        "train_params": {"jaco_net": "cnn"},
+    }
+    pipeline = EammPipeline(cfg, variables,
+                            PipelineOptions(frame_chunk=8, time_bucket=32,
+                                            add_emo=False, smooth_pose=False))
+
+    rng = np.random.RandomState(1)
+    source = rng.rand(256, 256, 3).astype(np.float32)
+    wav = (0.1 * rng.randn(int(16000 * 1.6))).astype(np.float32)
+
+    windows = pipeline.audio_to_windows(wav)
+    T = windows.shape[0]
+    assert T >= 32
+    pose = rng.randn(T, 6).astype(np.float32)
+
+    ref = torch_reference_render(oracles_full, source, windows, pose)
+    ours = pipeline.render(source, wav, np.concatenate(
+        [pose[:, :6], np.zeros((T, 1), np.float32)], 1), add_emo=False)
+
+    assert ours.shape == ref.shape
+    l1 = np.abs(ours - ref).mean(axis=(1, 2, 3))
+    assert l1.max() < 1e-2, l1
+    assert l1.mean() < 3e-3, l1.mean()
