@@ -99,7 +99,13 @@ class ModulatedConv(nn.Module):
         w = self.param("weight", jax.nn.initializers.normal(1.0),
                        (ksz, ksz, Cin, self.features))
         scale = 1.0 / math.sqrt(Cin * ksz * ksz)
-        s = EqualLinear(Cin, bias_init=1.0, name="modulation")(style)  # [B,Cin]
+        if style is None:
+            # style-free operation (the encoder/decoder image-translation
+            # path, ref:modules/stylegan2.py:896-900): demodulate-only
+            s = jnp.ones((B, Cin), x.dtype)
+        else:
+            s = EqualLinear(Cin, bias_init=1.0,
+                            name="modulation")(style)     # [B,Cin]
 
         if self.demodulate:
             # demod[b,o] = rsqrt(sum_{khw,i} (scale*W*s)^2 + eps)
@@ -204,3 +210,248 @@ class SynthesisGenerator(nn.Module):
             out = StyledConv(ch, name=f"conv_same{li}")(out, s)
             skip = ToRGB(self.out_channels, name=f"to_rgb_up{li}")(out, s, skip)
         return skip
+
+
+# ---------------------------------------------------------------------------
+# Non-synthesis StyleGAN2 modules (ref:modules/stylegan2.py:630-922).
+# No reference entry point instantiates these (dead upstream — SURVEY §2.2);
+# they are implemented for full component coverage with the *intended*
+# semantics: the upstream decoder path cannot even construct (StyledConv in
+# an nn.Sequential receives no style), so style=None here means an
+# unmodulated (demodulate-only) convolution, the coherent reading of the
+# CUT-style generator this code derives from.
+# ---------------------------------------------------------------------------
+
+
+class EqualConv(nn.Module):
+    """Equalized-lr conv (ref:modules/stylegan2.py:159-206)."""
+    features: int
+    kernel: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        Cin = x.shape[-1]
+        w = self.param("weight", jax.nn.initializers.normal(1.0),
+                       (self.kernel, self.kernel, Cin, self.features))
+        scale = 1.0 / math.sqrt(Cin * self.kernel * self.kernel)
+        dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        out = jax.lax.conv_general_dilated(
+            x, w * scale, (self.stride, self.stride),
+            [(self.padding, self.padding)] * 2, dimension_numbers=dn)
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros,
+                                   (self.features,))
+        return out
+
+
+class ConvLayer(nn.Module):
+    """(Blur + stride-2) equalized conv + fused leaky-relu
+    (ref:modules/stylegan2.py:630-676)."""
+    features: int
+    kernel: int
+    downsample: bool = False
+    use_bias: bool = True
+    activate: bool = True
+    blur_kernel: tuple = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        if self.downsample:
+            p = (len(self.blur_kernel) - 2) + (self.kernel - 1)
+            x = upfirdn2d(x, _fir_kernel(self.blur_kernel),
+                          pad=((p + 1) // 2, p // 2))
+            stride, padding = 2, 0
+        else:
+            stride, padding = 1, self.kernel // 2
+        out = EqualConv(self.features, self.kernel, stride, padding,
+                        use_bias=self.use_bias and not self.activate,
+                        name="conv")(x)
+        if self.activate:
+            bias = (self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+                    if self.use_bias else jnp.zeros((self.features,)))
+            out = fused_leaky_relu(out, bias)
+        return out
+
+
+class DResBlock(nn.Module):
+    """Discriminator/encoder residual block with sqrt(2) skip scaling
+    (ref:modules/stylegan2.py:679-701)."""
+    features: int
+    downsample: bool = True
+    skip_gain: float = 1.0
+    blur_kernel: tuple = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        Cin = x.shape[-1]
+        out = ConvLayer(Cin, 3, name="conv1")(x)
+        out = ConvLayer(self.features, 3, downsample=self.downsample,
+                        blur_kernel=self.blur_kernel, name="conv2")(out)
+        if Cin != self.features or self.downsample:
+            skip = ConvLayer(self.features, 1, downsample=self.downsample,
+                             activate=False, use_bias=False, name="skip")(x)
+        else:
+            skip = x
+        return (out * self.skip_gain + skip) / math.sqrt(
+            self.skip_gain ** 2 + 1.0)
+
+
+def _disc_channels(multiplier: float) -> dict:
+    return {4: min(384, int(4096 * multiplier)),
+            8: min(384, int(2048 * multiplier)),
+            16: min(384, int(1024 * multiplier)),
+            32: min(384, int(512 * multiplier)),
+            64: int(256 * multiplier), 128: int(128 * multiplier),
+            256: int(64 * multiplier), 512: int(32 * multiplier),
+            1024: int(16 * multiplier)}
+
+
+class StyleGAN2Discriminator(nn.Module):
+    """ref:modules/stylegan2.py:704-794.  variant: 'global' (4x4 head ->
+    scalar), 'patch' (8x8 spatial logits), 'smallpatch' (16x16).  The
+    minibatch-stddev branch is disabled upstream (`if False and "tile"...`)
+    and stays out here."""
+    size: int = 256
+    ndf: int = 64
+    variant: str = "global"
+
+    @nn.compact
+    def __call__(self, x):
+        channels = _disc_channels(self.ndf / 64)
+        out = ConvLayer(channels[self.size], 1, name="from_rgb")(x)
+        final_res_log2 = {"global": 2, "patch": 3, "smallpatch": 4}[self.variant]
+        log_size = int(math.log2(self.size))
+        for i in range(log_size, final_res_log2, -1):
+            out = DResBlock(channels[2 ** (i - 1)], name=f"res{i}")(out)
+        out = ConvLayer(channels[4], 3, name="final_conv")(out)
+        if self.variant in ("patch", "smallpatch"):
+            return ConvLayer(1, 3, use_bias=False, activate=False,
+                             name="final_linear")(out)
+        B = out.shape[0]
+        out = out.reshape(B, -1)
+        out = EqualLinear(channels[4], activation=True, name="final_dense0")(out)
+        return EqualLinear(1, name="final_dense1")(out)
+
+
+class TileStyleGAN2Discriminator(nn.Module):
+    """Tiles the input into patch_size^2 crops and scores each
+    (ref:modules/stylegan2.py:797-805)."""
+    patch_size: int = 64
+    ndf: int = 64
+    variant: str = "global"
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        s = self.patch_size
+        Y, X = H // s, W // s
+        tiles = (x.reshape(B, Y, s, X, s, C).transpose(0, 1, 3, 2, 4, 5)
+                 .reshape(B * Y * X, s, s, C))
+        return StyleGAN2Discriminator(size=s, ndf=self.ndf,
+                                      variant=self.variant,
+                                      name="discriminator")(tiles)
+
+
+def _gen_channels(multiplier: float) -> dict:
+    return {4: min(512, int(round(4096 * multiplier))),
+            8: min(512, int(round(2048 * multiplier))),
+            16: min(512, int(round(1024 * multiplier))),
+            32: min(512, int(round(512 * multiplier))),
+            64: int(round(256 * multiplier)), 128: int(round(128 * multiplier)),
+            256: int(round(64 * multiplier)), 512: int(round(32 * multiplier)),
+            1024: int(round(16 * multiplier))}
+
+
+class StyleGAN2Encoder(nn.Module):
+    """ref:modules/stylegan2.py:808-864: from-RGB, num_downsampling
+    downsampling ResBlocks, n_blocks//2 residual blocks.  ``layers`` taps
+    intermediate features (-1 = the final one), as the CUT-style contrastive
+    losses consume."""
+    size: int = 256
+    ngf: int = 64
+    n_blocks: int = 6
+    num_downsampling: int = 1
+
+    @nn.compact
+    def __call__(self, x, layers=(), get_features: bool = False):
+        channels = _gen_channels(self.ngf / 32)
+        layers = list(layers)
+        feats = []
+        cur = self.size
+        out = x
+        if 0 in layers:                      # layer 0 is upstream's Identity
+            feats.append(out)
+        out = ConvLayer(channels[cur], 1, name="from_rgb")(out)
+        idx = 1
+        if idx in layers:
+            feats.append(out)
+        for i in range(self.num_downsampling):
+            out = DResBlock(channels[cur // 2], name=f"down{i}")(out)
+            cur //= 2
+            idx += 1
+            if idx in layers:
+                feats.append(out)
+        for i in range(self.n_blocks // 2):
+            out = DResBlock(channels[cur], downsample=False,
+                            name=f"res{i}")(out)
+            idx += 1
+            if idx in layers:
+                feats.append(out)
+        if -1 in layers:
+            feats.append(out)
+        if get_features:
+            return out, feats
+        return out
+
+
+class StyleGAN2Decoder(nn.Module):
+    """ref:modules/stylegan2.py:867-911: n_blocks//2 residual blocks,
+    num_downsampling style-free upsampling StyledConvs, to-RGB."""
+    size: int = 256
+    ngf: int = 64
+    n_blocks: int = 6
+    num_downsampling: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        channels = _gen_channels(self.ngf / 32)
+        cur = self.size // (2 ** self.num_downsampling)
+        out = x
+        for i in range(self.n_blocks // 2):
+            out = DResBlock(channels[cur], downsample=False,
+                            name=f"res{i}")(out)
+        for i in range(self.num_downsampling):
+            out = StyledConv(channels[cur * 2], upsample=True,
+                             name=f"up{i}")(out, None)
+            cur *= 2
+        return ConvLayer(3, 1, name="to_rgb")(out)
+
+
+class StyleGAN2ImageGenerator(nn.Module):
+    """Encoder + decoder image-to-image generator
+    (ref:modules/stylegan2.py:914-922; named to avoid clashing with the
+    synthesis ``Generator`` EAMM actually uses)."""
+    size: int = 256
+    ngf: int = 64
+    n_blocks: int = 6
+    num_downsampling: int = 1
+
+    def setup(self):
+        self.encoder = StyleGAN2Encoder(self.size, self.ngf, self.n_blocks,
+                                        self.num_downsampling)
+        self.decoder = StyleGAN2Decoder(self.size, self.ngf, self.n_blocks,
+                                        self.num_downsampling)
+
+    def __call__(self, x, layers=(), encode_only: bool = False):
+        feat, feats = self.encoder(x, layers, get_features=True)
+        if encode_only:
+            return feats
+        fake = self.decoder(feat)
+        if layers:
+            return fake, feats
+        return fake
