@@ -358,3 +358,45 @@ def convert_emotion_map(sd: Mapping[str, np.ndarray],
     b.add("head_4/kp", conv2d(sd, "kp_4"))
     b.add("head_4/jacobian", conv2d(sd, "jacobian_4"))
     return b.done()
+
+
+def convert_discriminator(sd: Mapping[str, np.ndarray],
+                          scales=None) -> dict:
+    """Reference MultiScaleDiscriminator state dict -> variables
+    (ref:modules/discriminator.py:36-95; spectral_norm stores weight_orig +
+    the left power-iteration vector weight_u, which maps onto our SNConv's
+    batch_stats 'u' — the reference FOMM checkpoint carries the
+    discriminator for GAN fine-tune resume, ref:logger.py:60-73)."""
+    sd = _strip_prefix(sd)
+    if scales is None:   # derive from the 'discs.<scale>.' key prefixes
+        tags = sorted({k.split(".")[1] for k in sd if k.startswith("discs.")})
+        scales = [t.replace("-", ".") for t in tags]
+        scales = [int(s) if "." not in s else float(s) for s in scales]
+    b = _TreeBuilder()
+
+    def sn_conv(torch_pfx, path):
+        if f"{torch_pfx}.weight_orig" in sd:
+            b.add(path, {"kernel": sd[f"{torch_pfx}.weight_orig"]
+                         .transpose(2, 3, 1, 0),
+                         "bias": sd[f"{torch_pfx}.bias"]})
+            b._set(b.stats, f"{path}/u", sd[f"{torch_pfx}.weight_u"])
+        else:
+            b.add(path, conv2d(sd, torch_pfx))
+
+    for scale in scales:
+        t = f"discs.{str(scale).replace('.', '-')}"
+        p = f"disc_{str(scale).replace('.', '-')}"
+        i = 0
+        while f"{t}.down_blocks.{i}.conv.weight" in sd \
+                or f"{t}.down_blocks.{i}.conv.weight_orig" in sd:
+            sn_conv(f"{t}.down_blocks.{i}.conv", f"{p}/down{i}/conv")
+            if f"{t}.down_blocks.{i}.norm.weight" in sd:
+                b._set(b.params, f"{p}/down{i}/in_scale",
+                       sd[f"{t}.down_blocks.{i}.norm.weight"])
+                b._set(b.params, f"{p}/down{i}/in_bias",
+                       sd[f"{t}.down_blocks.{i}.norm.bias"])
+            i += 1
+        sn_conv(f"{t}.conv", f"{p}/conv")
+    out = b.done()
+    out.setdefault("batch_stats", {})
+    return out

@@ -60,6 +60,13 @@ def load_frozen_torch(state, mode: str, fomm_checkpoint: str | None = None,
             else state.frozen
         target["generator"] = gen["params"]
         state.batch_stats["generator"] = gen["batch_stats"]
+        if hasattr(state, "disc_params") and "discriminator" in fomm:
+            # GAN fine-tune resumes the discriminator from the FOMM
+            # checkpoint when present (ref:logger.py:60-73)
+            disc = compat.convert_discriminator(fomm["discriminator"])
+            state = state._replace(disc_params=disc["params"])
+            state.batch_stats["discriminator"] = disc.get(
+                "batch_stats", state.batch_stats.get("discriminator", {}))
     if audio_checkpoint:
         audio = compat.load_torch_checkpoint(audio_checkpoint)
         at = compat.convert_atnet(audio["audio_feature"])
@@ -93,10 +100,19 @@ def train(config: dict, mode: str, log_dir: str, checkpoint: str | None = None,
     loader = DataLoader(repeated, batch_size=tp["batch_size"], seed=seed)
     steps_per_epoch = max(1, len(loader))
 
-    optimizer = make_optimizer(
-        lr=float(tp.get("lr_audio_feature", 2e-4)),
-        milestones_epochs=tp.get("epoch_milestones", (60, 90)),
-        steps_per_epoch=steps_per_epoch)
+    sched = dict(milestones_epochs=tp.get("epoch_milestones", (60, 90)),
+                 steps_per_epoch=steps_per_epoch)
+    lr_audio = float(tp.get("lr_audio_feature", 2e-4))
+    if mode == "train_part1_fine_tune":
+        # separate generator / audio optimizers+schedulers, as the
+        # reference fine-tune keeps (ref:train.py:136-163)
+        from eamm_tpu.train.optim import make_module_optimizer
+        optimizer = make_module_optimizer(
+            {"generator": float(tp.get("lr_generator", 2e-4)),
+             "audio_feature": lr_audio, "kp_detector_a": lr_audio},
+            default_lr=lr_audio, **sched)
+    else:
+        optimizer = make_optimizer(lr=lr_audio, **sched)
 
     mesh = mesh or make_mesh_for_batch(tp["batch_size"])
     logger = MetricsLogger(log_dir)

@@ -97,3 +97,53 @@ def test_step_timer():
 def test_device_memory_stats():
     stats = device_memory_stats()
     assert len(stats) >= 1 and "device" in stats[0]
+
+
+def test_module_optimizer_routing():
+    """Per-module lrs route independently (ref:train.py:136-163 keeps
+    separate generator/audio optimizers in fine-tune)."""
+    import jax.numpy as jnp
+    import optax
+    from eamm_tpu.train.optim import make_module_optimizer
+
+    params = {"generator": {"w": jnp.ones(3)},
+              "audio_feature": {"w": jnp.ones(3)},
+              "kp_detector_a": {"w": jnp.ones(3)}}
+    opt = make_module_optimizer({"generator": 0.0, "audio_feature": 1e-1},
+                                default_lr=1e-3)
+    st = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    up, st = opt.update(grads, st, params)
+    new = optax.apply_updates(params, up)
+    assert float(jnp.abs(new["generator"]["w"] - 1).max()) == 0.0
+    assert abs(float(new["audio_feature"]["w"][0]) - 0.9) < 1e-4
+    assert abs(float(new["kp_detector_a"]["w"][0]) - 0.999) < 1e-4
+
+
+def test_finetune_zero_generator_lr_freezes_generator():
+    from tests.test_train_steps import small_models, part1_batch
+    from eamm_tpu.models.vgg import Vgg19
+    from eamm_tpu.train import make_part1_step, init_part1_state
+    from eamm_tpu.train.optim import make_module_optimizer
+    import jax.numpy as jnp
+
+    models = small_models()
+    models["vgg"] = Vgg19()
+    rng = jax.random.PRNGKey(0)
+    batch = jax.tree.map(jnp.asarray, part1_batch(3))
+    vgg_params = models["vgg"].init(rng, jnp.zeros((1, 64, 64, 3)))["params"]
+    opt = make_module_optimizer({"generator": 0.0, "audio_feature": 2e-4,
+                                 "kp_detector_a": 2e-4})
+    tp = {"loss_weights": {"audio": 10, "perceptual": [1, 0, 0, 0, 0],
+                           "generator_gan": 0},
+          "generator": "audio", "scales": [0.25]}
+    state = init_part1_state(rng, models, batch, opt, train_generator=True,
+                             vgg_params=vgg_params)
+    gen_before = jax.tree.leaves(state.trainable["generator"])[0].copy()
+    audio_before = jax.tree.leaves(state.trainable["audio_feature"])[0].copy()
+    step = jax.jit(make_part1_step(models, tp, opt))
+    state, m = step(state, batch)
+    assert np.allclose(jax.tree.leaves(state.trainable["generator"])[0],
+                       gen_before)
+    assert not np.allclose(
+        jax.tree.leaves(state.trainable["audio_feature"])[0], audio_before)
