@@ -5,7 +5,7 @@ import os
 import numpy as np
 import pytest
 
-from tests.test_train_loop import SMALL_CONFIG, lrw_root  # noqa: F401
+from tests.test_train_loop import SMALL_CONFIG  # noqa: F401
 
 
 def test_run_cli(lrw_root, tmp_path):  # noqa: F811
