@@ -77,12 +77,19 @@ def main():
     # compute_dtype=bfloat16 affects only the generator decode convs (the
     # keypoint path stays f32): measured max luma delta 1/255, p99 = 0 vs
     # f32 at production config (guarded by test_bf16_render_quality).
+    # overlap_segments=8: the clip renders as 8 segment dispatches after one
+    # whole-clip keypoint dispatch, so each segment's device->host fetch
+    # rides alongside the next segment's compute (measured: 201 -> 282 fps
+    # median delivered; the fetch-vs-compute overlap was verified with an
+    # independent probe).  Output is bitwise identical to the single
+    # dispatch (test_overlap_matches_single_dispatch).
     import jax.numpy as jnp
     pipe = EammPipeline.from_random(
-        FULL_CONFIG, options=PipelineOptions(frame_chunk=128, time_bucket=128,
+        FULL_CONFIG, options=PipelineOptions(frame_chunk=32, time_bucket=32,
                                              add_emo=False,
                                              transfer_format="yuv420",
                                              fetch_streams=8,
+                                             overlap_segments=8,
                                              compute_dtype=jnp.bfloat16))
     rng = np.random.RandomState(0)
     src = rng.rand(256, 256, 3).astype(np.float32)

@@ -60,6 +60,21 @@ def build_parser() -> ArgumentParser:
                         help="emotion video frames are already aligned "
                              "(skip the landmark-based per-frame alignment)")
     parser.add_argument("--cpu", action="store_true")
+    # Production delivery options (no reference equivalent: the reference
+    # renders frame-at-a-time on host, ref:demo.py:212-281).
+    parser.add_argument("--transfer_format", default="rgb",
+                        choices=["rgb", "yuv420"],
+                        help="ship frames off-device as RGB uint8 (bit-exact)"
+                             " or yuv420p planes (mp4-native, half the bytes"
+                             " over a bandwidth-limited link)")
+    parser.add_argument("--overlap_segments", type=int, default=1,
+                        help="render the clip as N pipelined segment "
+                             "dispatches whose device->host fetch overlaps "
+                             "the next segment's compute (bitwise-identical "
+                             "output; 1 = single whole-clip dispatch)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="run the generator decode in bfloat16 "
+                             "(visually lossless; keypoint path stays f32)")
     return parser
 
 
@@ -153,12 +168,17 @@ def main(argv=None):
     from eamm_tpu.infer import EammPipeline, PipelineOptions
 
     config = load_config(opt.config)
+    import jax.numpy as jnp
     options = PipelineOptions(relative=opt.relative,
                               adapt_scale=opt.adapt_scale,
                               add_emo=opt.add_emo, emo_type=opt.emo_type,
                               audio_weight=opt.weight,
                               smooth_pose=opt.smooth_pose,
-                              check_add=opt.check_add)
+                              check_add=opt.check_add,
+                              transfer_format=opt.transfer_format,
+                              overlap_segments=max(1, opt.overlap_segments),
+                              compute_dtype=(jnp.bfloat16 if opt.bf16
+                                             else jnp.float32))
     pipe = EammPipeline.from_torch_checkpoints(
         config, opt.checkpoint, opt.audio_checkpoint, opt.emo_checkpoint,
         options)

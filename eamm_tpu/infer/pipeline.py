@@ -57,6 +57,14 @@ class PipelineOptions:
     # half the bytes over the bandwidth-limited device->host link.
     transfer_format: str = "rgb"
     fetch_streams: int = 6            # concurrent device->host fetch streams
+    # Pipelined delivery: split the clip render into this many equal segment
+    # dispatches (after one cheap whole-clip keypoint dispatch) so the
+    # device->host fetch of segment i overlaps the compute of segment i+1.
+    # 1 = single whole-clip dispatch (the bit-exact default path).  The
+    # segment programs run the identical ops in the identical order, so the
+    # output is bitwise equal to the single-dispatch path
+    # (test_overlap_matches_single_dispatch).
+    overlap_segments: int = 1
 
 
 _EMO_HEAD = {"linear_3": "linear", "linear_4": "linear_4",
@@ -92,6 +100,12 @@ class EammPipeline:
         self._full_render = jax.jit(self._full_render_impl,
                                     static_argnames=("add_emo",))
         self._batch_render = jax.jit(self._batch_render_impl)
+        # Overlapped delivery: one cheap kp-stage dispatch + S identical
+        # render-segment dispatches whose fetch overlaps later compute.
+        self._kp_stage = jax.jit(self._kp_stage_impl,
+                                 static_argnames=("add_emo",))
+        self._render_segment = jax.jit(self._render_segment_impl,
+                                       static_argnames=("seg_frames",))
 
     # ------------------------------------------------------------ stages
 
@@ -183,19 +197,13 @@ class EammPipeline:
                         method=gen.decode)
         return out["prediction"]
 
-    def _full_render_impl(self, variables, source_image, waveform, pose,
-                          transformed_frames, add_emo: bool):
-        """Entire clip in one XLA program: raw waveform -> MFCC -> kp ->
-        (emotion) -> normalize -> chunked batched rendering -> frames.
-
-        The MFCC frontend runs inline (the waveform is zero-padded on the
-        host so the window count is the static bucketed frame count) —
-        one device dispatch for the whole clip, no separate audio round
-        trip.  transformed_frames: [Tp, 256, 256, 3] (ignored unless
-        add_emo).  Returns uint8 [Tp, 256, 256, 3] (or yuv420 planes).
-        """
+    def _clip_kp_impl(self, variables, source_image, waveform, pose,
+                      transformed_frames, add_emo: bool):
+        """Whole-clip keypoint production (the sequential, cheap part):
+        raw waveform -> MFCC -> A2FD -> audio kp -> smoothing -> (emotion
+        displacement) -> relative normalization.  Returns (kp_norm over Tp,
+        kp_source without heatmap)."""
         o = self.options
-        dt = o.compute_dtype
         Tp = pose.shape[0]
         mfcc_windows = audio_to_mfcc_windows(waveform)[:Tp]
         kp_source, kp_audio, kp_initial, _ = self._audio_kp_stage_impl(
@@ -222,24 +230,26 @@ class EammPipeline:
             {k: v[0] for k, v in kp_source.items() if k != "heatmap"},
             kp_driving, {k: v[0] for k, v in kp_initial.items()},
             use_relative_movement=o.relative, use_relative_jacobian=o.relative)
+        kp_s = {k: v[0] for k, v in kp_source.items() if k != "heatmap"}
+        return kp_norm, kp_s
 
-        gen = self.models["generator"]
+    def _cast_generator(self, variables):
+        """Generator variables + compute dtype for the decode hot path."""
+        dt = self.options.compute_dtype
         gvars = variables["generator"]
         if dt != jnp.float32:
             gvars = jax.tree.map(
                 lambda x: x.astype(dt)
                 if jnp.issubdtype(x.dtype, jnp.floating) else x, gvars)
-        src = source_image.astype(dt)
-        feats = gen.apply(gvars, src, method=gen.encode_source)
-        kp_s = {k: v[0].astype(dt) for k, v in kp_source.items()
-                if k != "heatmap"}
+        return gvars, dt
 
-        Tp = kp_norm["value"].shape[0]
-        F = o.frame_chunk
-        n_chunks = Tp // F
-        kv = kp_norm["value"].astype(dt).reshape(n_chunks, F, 10, 2)
-        kj = kp_norm["jacobian"].astype(dt).reshape(n_chunks, F, 10, 2, 2)
-
+    def _decode_chunks(self, gvars, src, feats, kp_s, kv, kj):
+        """Chunked batched decode: kv [n_chunks, F, 10, 2] -> frames.
+        Shared verbatim by the single-dispatch and segment programs so the
+        overlapped path is bitwise identical."""
+        o = self.options
+        gen = self.models["generator"]
+        n_chunks, F = kv.shape[:2]
         yuv = o.transfer_format == "yuv420"
 
         def render_one_chunk(kp_chunk):
@@ -262,6 +272,80 @@ class EammPipeline:
             return tuple(x.reshape((n_chunks * F,) + x.shape[2:])
                          for x in frames)
         return frames.reshape(n_chunks * F, *frames.shape[2:])
+
+    def _full_render_impl(self, variables, source_image, waveform, pose,
+                          transformed_frames, add_emo: bool):
+        """Entire clip in one XLA program: raw waveform -> MFCC -> kp ->
+        (emotion) -> normalize -> chunked batched rendering -> frames.
+
+        The MFCC frontend runs inline (the waveform is zero-padded on the
+        host so the window count is the static bucketed frame count) —
+        one device dispatch for the whole clip, no separate audio round
+        trip.  transformed_frames: [Tp, 256, 256, 3] (ignored unless
+        add_emo).  Returns uint8 [Tp, 256, 256, 3] (or yuv420 planes).
+        """
+        o = self.options
+        kp_norm, kp_s_f32 = self._clip_kp_impl(
+            variables, source_image, waveform, pose, transformed_frames,
+            add_emo)
+        gvars, dt = self._cast_generator(variables)
+        src = source_image.astype(dt)
+        gen = self.models["generator"]
+        feats = gen.apply(gvars, src, method=gen.encode_source)
+        kp_s = {k: v.astype(dt) for k, v in kp_s_f32.items()}
+
+        Tp = kp_norm["value"].shape[0]
+        F = o.frame_chunk
+        n_chunks = Tp // F
+        kv = kp_norm["value"].astype(dt).reshape(n_chunks, F, 10, 2)
+        kj = kp_norm["jacobian"].astype(dt).reshape(n_chunks, F, 10, 2, 2)
+        return self._decode_chunks(gvars, src, feats, kp_s, kv, kj)
+
+    def _kp_stage_impl(self, variables, source_image, waveform, pose,
+                       transformed_frames, add_emo: bool):
+        """First dispatch of the overlapped path: whole-clip keypoints plus
+        the encoded source features.  Outputs stay on device; the render
+        segments consume them without a host round trip."""
+        kp_norm, kp_s = self._clip_kp_impl(
+            variables, source_image, waveform, pose, transformed_frames,
+            add_emo)
+        gvars, dt = self._cast_generator(variables)
+        gen = self.models["generator"]
+        feats = gen.apply(gvars, source_image.astype(dt),
+                          method=gen.encode_source)
+        return kp_norm["value"], kp_norm["jacobian"], kp_s, feats
+
+    def _render_segment_impl(self, variables, source_image, feats, kp_s_f32,
+                             kp_value, kp_jacobian, seg_index, seg_frames):
+        """One overlapped render segment: frames [seg_index*seg_frames,
+        +seg_frames) of the clip — identical math to the matching slice of
+        the single-dispatch path.  ``seg_index`` is a traced scalar (one
+        compiled program serves every segment); ``seg_frames`` is static."""
+        o = self.options
+        gvars, dt = self._cast_generator(variables)
+        src = source_image.astype(dt)
+        kp_s = {k: v.astype(dt) for k, v in kp_s_f32.items()}
+        start = seg_index * seg_frames
+        kp_value = jax.lax.dynamic_slice_in_dim(kp_value, start, seg_frames)
+        kp_jacobian = jax.lax.dynamic_slice_in_dim(kp_jacobian, start,
+                                                   seg_frames)
+        F = o.frame_chunk
+        n_chunks = seg_frames // F
+        kv = kp_value.astype(dt).reshape(n_chunks, F, 10, 2)
+        kj = kp_jacobian.astype(dt).reshape(n_chunks, F, 10, 2, 2)
+        out = self._decode_chunks(gvars, src, feats, kp_s, kv, kj)
+        # Split the output into fetch parts INSIDE the program: each part is
+        # its own output buffer, immediately fetchable when the dispatch
+        # completes — a host-issued slice op would queue behind later
+        # segments' compute on an in-order device queue.
+        ns = max(1, o.fetch_streams)
+        if o.transfer_format == "yuv420":
+            y, u, v = out
+            ny = max(1, (2 * ns) // 3)         # Y holds 2/3 of the bytes
+            q = [seg_frames * i // ny for i in range(ny + 1)]
+            return tuple([y[q[i]:q[i + 1]] for i in range(ny)] + [u, v])
+        q = [seg_frames * i // ns for i in range(ns + 1)]
+        return tuple(out[q[i]:q[i + 1]] for i in range(ns))
 
     def _batch_chunk(self, n_identities: int) -> int:
         """Frames-per-identity per render dispatch: the total per-chunk
@@ -455,6 +539,8 @@ class EammPipeline:
         add_emo = o.add_emo if add_emo is None else add_emo
         T, args = self._prepare_full_render_args(
             source_image, waveform, all_pose, transformed_video, add_emo)
+        if o.overlap_segments > 1:
+            return self._render_overlapped(args, add_emo, T)
         y, u, v = self._full_render(self.vars, *args, add_emo=add_emo)
         ns = max(1, o.fetch_streams)
         ny = max(1, (2 * ns) // 3)   # Y holds 2/3 of the bytes
@@ -463,6 +549,54 @@ class EammPipeline:
         fetched = fetch_parallel(parts)
         return (np.concatenate(fetched[:ny], axis=0),
                 fetched[ny], fetched[ny + 1])
+
+    def _render_overlapped(self, args, add_emo, T):
+        """Pipelined delivery: dispatch the kp stage, then all S render
+        segments back-to-back (dispatch is asynchronous), and fetch the
+        segments in completion order — segment i's device->host transfer
+        rides alongside segment i+1's compute, so delivered throughput
+        approaches max(compute, transfer) instead of their sum.  Returns
+        the first T frames (uint8 frames, or yuv420 planes); the padded
+        tail is rendered but never crosses the host link."""
+        o = self.options
+        src = args[0]
+        kv, kj, kp_s, feats = self._kp_stage(self.vars, *args,
+                                             add_emo=add_emo)
+        S = o.overlap_segments
+        Tp = kv.shape[0]
+        Tseg = Tp // S
+        # every segment dispatch is issued before any fetch begins; the
+        # fetch of segment i then overlaps the compute of segments > i
+        segs = [self._render_segment(self.vars, src, feats, kp_s, kv, kj,
+                                     jnp.int32(i), Tseg)
+                for i in range(S)]
+        # frames of segment i to keep (the last segments hold the padding)
+        keeps = [min(Tseg, max(0, T - i * Tseg)) for i in range(S)]
+        flat = [p for parts, keep in zip(segs, keeps) if keep > 0
+                for p in parts]
+        fetched = fetch_parallel(flat)
+        it = iter(fetched)
+        yuv = o.transfer_format == "yuv420"
+        ns = max(1, o.fetch_streams)
+        ny = max(1, (2 * ns) // 3) if yuv else ns
+        if yuv:
+            ys, us, vs = [], [], []
+            for keep in keeps:
+                if keep == 0:
+                    continue
+                y = np.concatenate([next(it) for _ in range(ny)], axis=0)
+                ys.append(y[:keep])
+                us.append(next(it)[:keep])
+                vs.append(next(it)[:keep])
+            return (np.concatenate(ys, axis=0), np.concatenate(us, axis=0),
+                    np.concatenate(vs, axis=0))
+        out = []
+        for keep in keeps:
+            if keep == 0:
+                continue
+            seg = np.concatenate([next(it) for _ in range(ns)], axis=0)
+            out.append(seg[:keep])
+        return np.concatenate(out, axis=0)
 
     def _render_rgb_uint8(self, source_image, waveform, all_pose,
                           transformed_video=None, add_emo=None) -> np.ndarray:
@@ -474,6 +608,8 @@ class EammPipeline:
             return np.clip(np.round(frames * 255.0), 0, 255).astype(np.uint8)
         T, args = self._prepare_full_render_args(
             source_image, waveform, all_pose, transformed_video, add_emo)
+        if o.overlap_segments > 1:
+            return self._render_overlapped(args, add_emo, T)
         out = self._full_render(self.vars, *args, add_emo=add_emo)
         return np.asarray(out)[:T]
 
@@ -487,7 +623,9 @@ class EammPipeline:
         o = self.options
         waveform = np.asarray(waveform, np.float32).reshape(-1)
         T = num_windows_for_samples(waveform.shape[0])
-        bucket = _bucket(o.time_bucket, o.frame_chunk)
+        # Tp must divide into overlap_segments equal chunk-aligned segments.
+        bucket = _bucket(o.time_bucket,
+                         o.frame_chunk * max(1, o.overlap_segments))
         Tp = _bucket(T, bucket)
         n_samples = max(waveform.shape[0], min_samples_for_windows(Tp))
         wav_p = np.zeros(n_samples, np.float32)

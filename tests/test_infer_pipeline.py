@@ -150,3 +150,42 @@ def test_bf16_render_quality(pipeline):
     d = np.abs(rgb_f32.astype(np.float32) - rgb_bf16.astype(np.float32))
     assert d.mean() < 0.5           # in uint8 counts
     assert np.percentile(d, 99) <= 2.0
+
+
+def test_overlap_matches_single_dispatch(pipeline):
+    """The overlapped (kp stage + S render segments) delivery path runs the
+    identical ops in the identical order, so its output is bitwise equal to
+    the single whole-clip dispatch — rgb and yuv420, neutral and emotional."""
+    src, wav, pose, emo_frames = _inputs(seed=8)
+    single_rgb = pipeline.render_uint8(src, wav, pose, add_emo=False)
+
+    ov = EammPipeline(
+        pipeline.config, pipeline.vars,
+        options=PipelineOptions(frame_chunk=8, time_bucket=16,
+                                overlap_segments=3))
+    rgb = ov.render_uint8(src, wav, pose, add_emo=False)
+    assert rgb.shape == single_rgb.shape
+    np.testing.assert_array_equal(rgb, single_rgb)
+
+    # emotional path through the overlapped programs
+    emo = ov.render_uint8(src, wav, pose, transformed_video=emo_frames,
+                          add_emo=True)
+    single_emo = pipeline.render_uint8(src, wav, pose,
+                                       transformed_video=emo_frames,
+                                       add_emo=True)
+    np.testing.assert_array_equal(emo, single_emo)
+
+    yuv_single = EammPipeline(
+        pipeline.config, pipeline.vars,
+        options=PipelineOptions(frame_chunk=8, time_bucket=32,
+                                transfer_format="yuv420"))
+    y0, u0, v0 = yuv_single.render_yuv420(src, wav, pose, add_emo=False)
+    yuv_ov = EammPipeline(
+        pipeline.config, pipeline.vars,
+        options=PipelineOptions(frame_chunk=8, time_bucket=16,
+                                transfer_format="yuv420",
+                                overlap_segments=2))
+    y1, u1, v1 = yuv_ov.render_yuv420(src, wav, pose, add_emo=False)
+    np.testing.assert_array_equal(y0, y1)
+    np.testing.assert_array_equal(u0, u1)
+    np.testing.assert_array_equal(v0, v1)
