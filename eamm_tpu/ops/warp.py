@@ -50,8 +50,18 @@ def grid_sample(image: jnp.ndarray, grid: jnp.ndarray, *,
       align_corners: coordinate convention (see module docstring).
 
     Returns [B, Ho, Wo, C].
+
+    Narrow images (small C) route through a 2x2-patch-table gather: one
+    gather of 4C-wide rows instead of four C-wide row gathers.  TPU gathers
+    are row-operations against 128-wide lanes, so at C=3 (the dense-motion
+    source warp, the hottest op of the render program — 58% of decode time
+    in the round-2 xprof trace) this is ~4x fewer row reads for identical
+    bilinear math.
     """
     B, H, W, C = image.shape
+    if 4 * C <= 32 and padding_mode in ("zeros", "border"):
+        return _grid_sample_patched(image, grid, padding_mode=padding_mode,
+                                    align_corners=align_corners)
     compute_dtype = grid.dtype
     x = _unnormalize(grid[..., 0], W, align_corners)
     y = _unnormalize(grid[..., 1], H, align_corners)
@@ -100,6 +110,53 @@ def grid_sample(image: jnp.ndarray, grid: jnp.ndarray, *,
            + gather(x1, y0) * corner_weight(x1, y0, wx1, wy0)[..., None]
            + gather(x0, y1) * corner_weight(x0, y1, wx0, wy1)[..., None]
            + gather(x1, y1) * corner_weight(x1, y1, wx1, wy1)[..., None])
+    return out.astype(image.dtype) if image.dtype != compute_dtype else out
+
+
+def _grid_sample_patched(image: jnp.ndarray, grid: jnp.ndarray, *,
+                         padding_mode: str,
+                         align_corners: bool) -> jnp.ndarray:
+    """``grid_sample`` for narrow images via one patch-table gather.
+
+    The table holds every zero-padded 2x2 patch as one row ([B, H*W, 4C]);
+    each output pixel gathers the row at its clamped top-left corner and
+    weights the four slots with the bilinear tent kernel of their TRUE
+    positions.  Out-of-bounds corners receive tent weight 0 (zeros padding)
+    or never occur (border mode clamps coordinates first), so the result is
+    the same corner sum as the 4-gather formulation.
+    """
+    B, H, W, C = image.shape
+    _, Ho, Wo, _ = grid.shape
+    compute_dtype = grid.dtype
+    x = _unnormalize(grid[..., 0], W, align_corners)
+    y = _unnormalize(grid[..., 1], H, align_corners)
+    if padding_mode == "border":
+        x = jnp.clip(x, 0, W - 1)
+        y = jnp.clip(y, 0, H - 1)
+
+    x0c = jnp.clip(jnp.floor(x), 0, W - 1).astype(jnp.int32)
+    y0c = jnp.clip(jnp.floor(y), 0, H - 1).astype(jnp.int32)
+
+    # [B, H*W, 4C] zero-padded 2x2 patches: slots (dy,dx) = 00,01,10,11
+    p = jnp.pad(image, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    table = jnp.stack([p[:, :H, :W], p[:, :H, 1:W + 1],
+                       p[:, 1:H + 1, :W], p[:, 1:H + 1, 1:W + 1]],
+                      axis=3).reshape(B, H * W, 4 * C)
+
+    idx = (y0c * W + x0c).reshape(B, Ho * Wo, 1)
+    patches = jnp.take_along_axis(table, idx, axis=1)      # [B, M, 4C]
+    patches = patches.reshape(B, Ho, Wo, 4, C)
+
+    # tent weights at the slots' true positions; clamped-away corners and
+    # zero-padding corners land outside the tent and get weight 0
+    px = x0c.astype(compute_dtype)
+    py = y0c.astype(compute_dtype)
+    wx0 = jnp.maximum(0.0, 1.0 - jnp.abs(x - px))
+    wx1 = jnp.maximum(0.0, 1.0 - jnp.abs(x - (px + 1.0)))
+    wy0 = jnp.maximum(0.0, 1.0 - jnp.abs(y - py))
+    wy1 = jnp.maximum(0.0, 1.0 - jnp.abs(y - (py + 1.0)))
+    w = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1)
+    out = jnp.einsum("bhws,bhwsc->bhwc", w, patches)
     return out.astype(image.dtype) if image.dtype != compute_dtype else out
 
 
