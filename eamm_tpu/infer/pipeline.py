@@ -106,6 +106,9 @@ class EammPipeline:
                                  static_argnames=("add_emo",))
         self._render_segment = jax.jit(self._render_segment_impl,
                                        static_argnames=("seg_frames",))
+        self._batch_kp_stage = jax.jit(self._batch_kp_stage_impl)
+        self._batch_render_segment = jax.jit(
+            self._batch_render_segment_impl, static_argnames=("seg_frames",))
 
     # ------------------------------------------------------------ stages
 
@@ -354,16 +357,11 @@ class EammPipeline:
         return max(8, min(self.options.frame_chunk,
                           128 // max(1, n_identities)))
 
-    def _batch_render_impl(self, variables, source_images, mfcc_windows,
-                           pose):
-        """Multi-identity batched neutral rendering in one XLA program.
-
-        source_images [N,256,256,3], mfcc_windows [N,Tp,28,12],
-        pose [N,Tp,6] -> uint8 [N,Tp,256,256,3].  The identity axis is the
-        natural 'data' mesh axis — under jit with N sharded, every stage
-        (A2FD batch, kp heads, chunked rendering) parallelizes across chips
-        (the BASELINE 'batched clip inference' configuration).
-        """
+    def _batch_kp_stage_impl(self, variables, source_images, mfcc_windows,
+                             pose):
+        """Batched whole-clip keypoint production for N identities: audio
+        features -> audio kp -> one-euro smoothing, plus source kp and the
+        encoded source features (in compute dtype)."""
         o = self.options
         m, v = self.models, variables
         N, Tp = mfcc_windows.shape[:2]
@@ -381,15 +379,20 @@ class EammPipeline:
                 x, mincutoff=0.05, beta=8.0, freq=100, scale=10.0))(val)
             for k, val in kp_a.items()}
 
+        gvars, dt = self._cast_generator(variables)
         gen = self.models["generator"]
-        feats = gen.apply(v["generator"], source_images,
+        feats = gen.apply(gvars, source_images.astype(dt),
                           method=gen.encode_source)       # [N,...]
-        F = self._batch_chunk(N)
-        n_chunks = Tp // F
-        kv = smooth["value"].reshape(N, n_chunks, F, 10, 2).swapaxes(0, 1)
-        kj = smooth["jacobian"].reshape(N, n_chunks, F, 10, 2, 2).swapaxes(0, 1)
         kp_s = {k: val for k, val in kp_source.items() if k != "heatmap"}
+        return smooth["value"], smooth["jacobian"], kp_s, feats
 
+    def _batch_decode_chunks(self, gvars, source_images, feats, kp_s, kv, kj):
+        """Batched chunked decode: kv [n_chunks, N, F, 10, 2] -> frames
+        [N, n_chunks*F, ...] (or yuv420 planes).  Shared verbatim by the
+        single-dispatch and segment programs."""
+        o = self.options
+        gen = self.models["generator"]
+        n_chunks, N, F = kv.shape[:3]
         yuv = o.transfer_format == "yuv420"
 
         def render_chunk(kp_chunk):
@@ -397,45 +400,115 @@ class EammPipeline:
             srcF = jnp.repeat(source_images, F, axis=0)
             featF = jnp.repeat(feats, F, axis=0)
             kpsF = {k: jnp.repeat(val2, F, axis=0) for k, val2 in kp_s.items()}
-            out = gen.apply(v["generator"], srcF, featF,
+            out = gen.apply(gvars, srcF, featF,
                             {"value": val.reshape(N * F, 10, 2),
                              "jacobian": jac.reshape(N * F, 10, 2, 2)},
                             kpsF, method=gen.decode, want_aux=False)
-            pred = out["prediction"].reshape(N, F, 256, 256, 3)
+            pred = out["prediction"].astype(jnp.float32).reshape(
+                N, F, 256, 256, 3)
             if yuv:
                 return rgb_to_yuv420(pred.reshape(N * F, 256, 256, 3))
             return jnp.clip(jnp.round(pred * 255.0), 0, 255).astype(jnp.uint8)
 
         frames = jax.lax.map(render_chunk, (kv, kj))      # [n_chunks,N,F,...]
+        Tseg = n_chunks * F
         if yuv:
-            # [n_chunks, N*F, h, w] -> [N, Tp, h, w]
+            # [n_chunks, N*F, h, w] -> [N, Tseg, h, w]
             return tuple(
                 x.reshape(n_chunks, N, F, *x.shape[2:])
-                 .swapaxes(0, 1).reshape((N, Tp) + x.shape[2:])
+                 .swapaxes(0, 1).reshape((N, Tseg) + x.shape[2:])
                 for x in frames)
-        return frames.swapaxes(0, 1).reshape(N, Tp, 256, 256, 3)
+        return frames.swapaxes(0, 1).reshape(N, Tseg, 256, 256, 3)
 
-    def render_batch_uint8(self, source_images, waveforms, poses) -> np.ndarray:
-        """Render several identities / clips at once (neutral path).
+    def _batch_prepare_chunks(self, source_images, kp_value, kp_jacobian):
+        """[N, T, ...] kp -> chunked [n_chunks, N, F, ...] in compute dtype,
+        plus the cast source/feature inputs."""
+        o = self.options
+        dt = o.compute_dtype
+        N, Tseg = kp_value.shape[:2]
+        F = self._batch_chunk(N)
+        n_chunks = Tseg // F
+        kv = kp_value.astype(dt).reshape(N, n_chunks, F, 10, 2).swapaxes(0, 1)
+        kj = kp_jacobian.astype(dt).reshape(
+            N, n_chunks, F, 10, 2, 2).swapaxes(0, 1)
+        return kv, kj
 
-        waveforms may differ in length; everything pads to the longest clip.
-        Returns uint8 [N, T_max, 256, 256, 3] (frames past each clip's own
-        length repeat the padded tail).
+    def _batch_render_impl(self, variables, source_images, mfcc_windows,
+                           pose):
+        """Multi-identity batched neutral rendering in one XLA program.
+
+        source_images [N,256,256,3], mfcc_windows [N,Tp,28,12],
+        pose [N,Tp,6] -> uint8 [N,Tp,256,256,3].  The identity axis is the
+        natural 'data' mesh axis — under jit with N sharded, every stage
+        (A2FD batch, kp heads, chunked rendering) parallelizes across chips
+        (the BASELINE 'batched clip inference' configuration).
         """
+        kv_t, kj_t, kp_s, feats = self._batch_kp_stage_impl(
+            variables, source_images, mfcc_windows, pose)
+        gvars, dt = self._cast_generator(variables)
+        kv, kj = self._batch_prepare_chunks(source_images, kv_t, kj_t)
+        kp_s = {k: v.astype(dt) for k, v in kp_s.items()}
+        return self._batch_decode_chunks(gvars, source_images.astype(dt),
+                                         feats, kp_s, kv, kj)
+
+    def _batch_render_segment_impl(self, variables, source_images, feats,
+                                   kp_s_f32, kp_value, kp_jacobian,
+                                   seg_index, seg_frames):
+        """One overlapped batched render segment: frames [seg_index *
+        seg_frames, +seg_frames) of every identity's clip."""
+        o = self.options
+        gvars, dt = self._cast_generator(variables)
+        kp_s = {k: v.astype(dt) for k, v in kp_s_f32.items()}
+        start = seg_index * seg_frames
+        kp_value = jax.lax.dynamic_slice_in_dim(kp_value, start, seg_frames,
+                                                axis=1)
+        kp_jacobian = jax.lax.dynamic_slice_in_dim(kp_jacobian, start,
+                                                   seg_frames, axis=1)
+        kv, kj = self._batch_prepare_chunks(source_images, kp_value,
+                                            kp_jacobian)
+        out = self._batch_decode_chunks(gvars, source_images.astype(dt),
+                                        feats, kp_s, kv, kj)
+        # split into fetch parts inside the program (see _render_segment_impl)
+        ns = max(1, o.fetch_streams)
+        if o.transfer_format == "yuv420":
+            y, u, v = out
+            ny = max(1, (2 * ns) // 3)
+            q = [seg_frames * i // ny for i in range(ny + 1)]
+            return tuple([y[:, q[i]:q[i + 1]] for i in range(ny)] + [u, v])
+        q = [seg_frames * i // ns for i in range(ns + 1)]
+        return tuple(out[:, q[i]:q[i + 1]] for i in range(ns))
+
+    def _prepare_batch_args(self, source_images, waveforms, poses):
+        """Host-side input prep for the batched paths: waveforms may differ
+        in length; everything pads to the longest clip, bucketed so the
+        padded length divides into overlap segments of whole chunks."""
         o = self.options
         N = len(waveforms)
         windows = [self.audio_to_windows(w) for w in waveforms]
         T = max(w.shape[0] for w in windows)
-        Tp = _bucket(T, _bucket(o.time_bucket, self._batch_chunk(N)))
+        S = max(1, o.overlap_segments)
+        Tp = _bucket(T, _bucket(o.time_bucket, self._batch_chunk(N) * S))
         win = np.zeros((N, Tp, 28, 12), np.float32)
         pos = np.zeros((N, Tp, 6), np.float32)
         for i, w in enumerate(windows):
             win[i, :w.shape[0]] = w
             pos[i, :w.shape[0]] = self.prepare_pose(poses[i], w.shape[0])
-        out = self._batch_render(self.vars,
-                                 jnp.asarray(np.asarray(source_images,
-                                                        np.float32)),
-                                 jnp.asarray(win), jnp.asarray(pos))
+        src = jnp.asarray(np.asarray(source_images, np.float32))
+        return T, (src, jnp.asarray(win), jnp.asarray(pos))
+
+    def render_batch_uint8(self, source_images, waveforms, poses) -> np.ndarray:
+        """Render several identities / clips at once (neutral path).
+
+        Returns uint8 [N, T_max, 256, 256, 3] (frames past each clip's own
+        length repeat the padded tail).
+        """
+        T, args = self._prepare_batch_args(source_images, waveforms, poses)
+        if self.options.overlap_segments > 1:
+            out = self._batch_render_overlapped(args, T)
+            if self.options.transfer_format == "yuv420":
+                return yuv420_to_rgb(*out)
+            return out
+        out = self._batch_render(self.vars, *args)
         if self.options.transfer_format == "yuv420":
             y, u, v = self._fetch_batch_yuv(out, T)
             return yuv420_to_rgb(y, u, v)
@@ -447,21 +520,49 @@ class EammPipeline:
         if self.options.transfer_format != "yuv420":
             raise ValueError(
                 "render_batch_yuv420 requires transfer_format='yuv420'")
-        o = self.options
-        N = len(waveforms)
-        windows = [self.audio_to_windows(w) for w in waveforms]
-        T = max(w.shape[0] for w in windows)
-        Tp = _bucket(T, _bucket(o.time_bucket, self._batch_chunk(N)))
-        win = np.zeros((N, Tp, 28, 12), np.float32)
-        pos = np.zeros((N, Tp, 6), np.float32)
-        for i, w in enumerate(windows):
-            win[i, :w.shape[0]] = w
-            pos[i, :w.shape[0]] = self.prepare_pose(poses[i], w.shape[0])
-        out = self._batch_render(self.vars,
-                                 jnp.asarray(np.asarray(source_images,
-                                                        np.float32)),
-                                 jnp.asarray(win), jnp.asarray(pos))
+        T, args = self._prepare_batch_args(source_images, waveforms, poses)
+        if self.options.overlap_segments > 1:
+            return self._batch_render_overlapped(args, T)
+        out = self._batch_render(self.vars, *args)
         return self._fetch_batch_yuv(out, T)
+
+    def _batch_render_overlapped(self, args, T):
+        """Pipelined batched delivery (see _render_overlapped)."""
+        o = self.options
+        src = args[0]
+        kv, kj, kp_s, feats = self._batch_kp_stage(self.vars, *args)
+        S = o.overlap_segments
+        Tp = kv.shape[1]
+        Tseg = Tp // S
+        segs = [self._batch_render_segment(self.vars, src, feats, kp_s,
+                                           kv, kj, jnp.int32(i), Tseg)
+                for i in range(S)]
+        keeps = [min(Tseg, max(0, T - i * Tseg)) for i in range(S)]
+        flat = [p for parts, keep in zip(segs, keeps) if keep > 0
+                for p in parts]
+        fetched = fetch_parallel(flat)
+        it = iter(fetched)
+        yuv = o.transfer_format == "yuv420"
+        ns = max(1, o.fetch_streams)
+        ny = max(1, (2 * ns) // 3) if yuv else ns
+        if yuv:
+            ys, us, vs = [], [], []
+            for keep in keeps:
+                if keep == 0:
+                    continue
+                y = np.concatenate([next(it) for _ in range(ny)], axis=1)
+                ys.append(y[:, :keep])
+                us.append(next(it)[:, :keep])
+                vs.append(next(it)[:, :keep])
+            return (np.concatenate(ys, axis=1), np.concatenate(us, axis=1),
+                    np.concatenate(vs, axis=1))
+        out = []
+        for keep in keeps:
+            if keep == 0:
+                continue
+            seg = np.concatenate([next(it) for _ in range(ns)], axis=1)
+            out.append(seg[:, :keep])
+        return np.concatenate(out, axis=1)
 
     def _fetch_batch_yuv(self, out, T: int):
         y, u, v = out

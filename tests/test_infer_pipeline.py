@@ -189,3 +189,34 @@ def test_overlap_matches_single_dispatch(pipeline):
     np.testing.assert_array_equal(y0, y1)
     np.testing.assert_array_equal(u0, u1)
     np.testing.assert_array_equal(v0, v1)
+
+
+def test_batch_overlap_matches_single_dispatch(pipeline):
+    """Batched overlapped delivery == batched single dispatch, bitwise."""
+    rng = np.random.RandomState(9)
+    sources = rng.rand(2, 256, 256, 3).astype(np.float32)
+    wavs = [(0.1 * rng.randn(16000)).astype(np.float32) for _ in range(2)]
+    poses = [rng.randn(1, 7).astype(np.float32) for _ in range(2)]
+    single = pipeline.render_batch_uint8(sources, wavs, poses)
+
+    ov = EammPipeline(
+        pipeline.config, pipeline.vars,
+        options=PipelineOptions(frame_chunk=8, time_bucket=16,
+                                overlap_segments=2))
+    out = ov.render_batch_uint8(sources, wavs, poses)
+    np.testing.assert_array_equal(out, single)
+
+    yuv_single = EammPipeline(
+        pipeline.config, pipeline.vars,
+        options=PipelineOptions(frame_chunk=8, time_bucket=32,
+                                transfer_format="yuv420"))
+    y0, u0, v0 = yuv_single.render_batch_yuv420(sources, wavs, poses)
+    yuv_ov = EammPipeline(
+        pipeline.config, pipeline.vars,
+        options=PipelineOptions(frame_chunk=8, time_bucket=16,
+                                transfer_format="yuv420",
+                                overlap_segments=3))
+    y1, u1, v1 = yuv_ov.render_batch_yuv420(sources, wavs, poses)
+    np.testing.assert_array_equal(y0, y1)
+    np.testing.assert_array_equal(u0, u1)
+    np.testing.assert_array_equal(v0, v1)
