@@ -2,9 +2,9 @@
 
 Covers the reference's Logger.log_iter/log_scores averaged ``log.txt``
 (ref:logger.py:29-37,91-103) and its tensorboardX per-loss scalars
-(ref:train.py:68,81-86).  tensorboardX is not a baked dependency, so scalars
-are written as JSONL (one {"step", "tag", "value"} per line) — trivially
-convertible, and consumed by the bundled plotting helper.
+(ref:train.py:68,81-86).  Scalars are written both as JSONL (one {"step",
+"tag", "value"} per line, trivially greppable) and as native TensorBoard
+event files (eamm_tpu.train.tbevents — no tensorboardX needed).
 """
 from __future__ import annotations
 
@@ -26,6 +26,14 @@ class MetricsLogger:
         self.loss_list = []
         self.epoch = 0
         self._t0 = time.time()
+        self._events = None
+
+    @property
+    def event_writer(self):
+        from eamm_tpu.train.tbevents import EventWriter
+        if self._events is None:
+            self._events = EventWriter(self.log_dir)
+        return self._events
 
     def log_iter(self, losses: dict):
         losses = {k: float(v) for k, v in losses.items()}
@@ -38,6 +46,8 @@ class MetricsLogger:
                 f.write(json.dumps({"step": int(step),
                                     "tag": f"{prefix}/{k}",
                                     "value": float(v)}) + "\n")
+        self.event_writer.add_scalars(step, losses, prefix=prefix)
+        self.event_writer.flush()
 
     def log_epoch(self, epoch: int):
         """Averaged per-epoch line, reference format '{epoch}) name - value'

@@ -147,3 +147,32 @@ def test_finetune_zero_generator_lr_freezes_generator():
                        gen_before)
     assert not np.allclose(
         jax.tree.leaves(state.trainable["audio_feature"])[0], audio_before)
+
+
+def test_tb_event_writer_roundtrip(tmp_path):
+    """Native TensorBoard event files: known-answer CRC32C, TFRecord
+    framing, and scalar round-trip through the independent parser."""
+    from eamm_tpu.train.tbevents import EventWriter, read_events, crc32c
+
+    # RFC 3720 check value for the Castagnoli polynomial
+    assert crc32c(b"123456789") == 0xE3069283
+
+    w = EventWriter(str(tmp_path))
+    w.add_scalars(1, {"loss": 2.5, "audio": 0.125}, prefix="train")
+    w.add_scalars(2, {"loss": 1.75}, prefix="train")
+    w.close()
+
+    events = read_events(w.path)
+    assert events[0] == (1, {"train/loss": 2.5, "train/audio": 0.125})
+    assert events[1] == (2, {"train/loss": 1.75})
+
+
+def test_metrics_logger_writes_events(tmp_path):
+    from eamm_tpu.train.logging import MetricsLogger
+    from eamm_tpu.train.tbevents import read_events
+    import glob
+    ml = MetricsLogger(str(tmp_path))
+    ml.write_scalars(7, {"total": 3.0})
+    files = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    assert len(files) == 1
+    assert read_events(files[0]) == [(7, {"train/total": 3.0})]
