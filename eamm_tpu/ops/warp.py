@@ -16,6 +16,7 @@ kernel for the hot generator warp lives in eamm_tpu/ops/warp_pallas.py.
 from __future__ import annotations
 
 
+import jax
 import jax.numpy as jnp
 
 
@@ -51,15 +52,25 @@ def grid_sample(image: jnp.ndarray, grid: jnp.ndarray, *,
 
     Returns [B, Ho, Wo, C].
 
-    Narrow images (small C) route through a 2x2-patch-table gather: one
-    gather of 4C-wide rows instead of four C-wide row gathers.  TPU gathers
-    are row-operations against 128-wide lanes, so at C=3 (the dense-motion
-    source warp, the hottest op of the render program — 58% of decode time
-    in the round-2 xprof trace) this is ~4x fewer row reads for identical
-    bilinear math.
+    Narrow images (small C) avoid TPU gathers, which cost ~28 cycles per
+    ROW regardless of row width (round-2 xprof: the dense-motion warp's
+    row-gathers were 57% of render compute):
+
+    * small planes (H*W <= 4096, i.e. the 64x64 dense-motion source) use
+      ``grid_sample_twolevel`` — bilinear sampling as two tent-matrix
+      contractions, zero gathers, 3x faster than the patch-table gather at
+      the hot shape (measured 69->23 ms f32 / 32->13 ms bf16 per
+      [704,64,64,3] warp on v5e) and its gradient is matmuls instead of
+      scatters;
+    * larger narrow planes use a 2x2-patch-table gather: one gather of
+      4C-wide rows instead of four C-wide row gathers.
     """
     B, H, W, C = image.shape
     if 4 * C <= 32 and padding_mode in ("zeros", "border"):
+        if H * W <= 4096:
+            return grid_sample_twolevel(image, grid,
+                                        padding_mode=padding_mode,
+                                        align_corners=align_corners)
         return _grid_sample_patched(image, grid, padding_mode=padding_mode,
                                     align_corners=align_corners)
     compute_dtype = grid.dtype
@@ -111,6 +122,55 @@ def grid_sample(image: jnp.ndarray, grid: jnp.ndarray, *,
            + gather(x0, y1) * corner_weight(x0, y1, wx0, wy1)[..., None]
            + gather(x1, y1) * corner_weight(x1, y1, wx1, wy1)[..., None])
     return out.astype(image.dtype) if image.dtype != compute_dtype else out
+
+
+def grid_sample_twolevel(image: jnp.ndarray, grid: jnp.ndarray, *,
+                         padding_mode: str = "zeros",
+                         align_corners: bool = False) -> jnp.ndarray:
+    """Exact bilinear ``grid_sample`` (zeros/border padding) with NO gathers.
+
+    Bilinear sampling separates per axis: out = tent_y · src · tent_x where
+    tent(r) = max(0, 1 - |coord - r|) is nonzero at exactly the two corner
+    rows/columns with exactly the corner weights.  Step 1 contracts the
+    source rows with the per-pixel y-tents — a batched MXU matmul — and
+    step 2 reduces over columns with the x-tents on the VPU.  Out-of-range
+    coordinates get zero tents everywhere, which IS zeros padding; border
+    mode clamps coordinates first, exactly like the gather formulation.
+
+    TPU gathers cost ~28 cycles per row regardless of width (round-2 xprof
+    measurement: the dense-motion warp's row-gathers = 57% of render
+    compute), so replacing the gather with ~71 GFLOP of matmul is a 3x
+    measured win at the hot shape.  f32 inputs force HIGHEST matmul
+    precision so parity-path numerics stay exact (maxdiff 1.8e-7 vs the
+    gather path); bf16 runs at native MXU precision.
+
+    image: [B, H, W, C]; grid: [B, Ho, Wo, 2].  Returns [B, Ho, Wo, C].
+    """
+    B, H, W, C = image.shape
+    _, Ho, Wo, _ = grid.shape
+    dt = grid.dtype
+    fx = _unnormalize(grid[..., 0], W, align_corners).reshape(B, Ho * Wo)
+    fy = _unnormalize(grid[..., 1], H, align_corners).reshape(B, Ho * Wo)
+    if padding_mode == "border":
+        fx = jnp.clip(fx, 0, W - 1)
+        fy = jnp.clip(fy, 0, H - 1)
+    elif padding_mode != "zeros":
+        raise ValueError(f"unsupported padding_mode {padding_mode!r}")
+
+    rows_idx = jnp.arange(H, dtype=dt)
+    cols_idx = jnp.arange(W, dtype=dt)
+    tent_y = jnp.maximum(0.0, 1.0 - jnp.abs(fy[..., None] - rows_idx))
+    tent_x = jnp.maximum(0.0, 1.0 - jnp.abs(fx[..., None] - cols_idx))
+
+    precision = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    # [B,P,H] x [B,H,W*C] -> [B,P,W,C]: the y-interpolated source row per
+    # output pixel (2 nonzero tents -> sum of two rows)
+    rows = jnp.einsum("bph,bhx->bpx", tent_y,
+                      image.astype(dt).reshape(B, H, W * C),
+                      precision=precision).reshape(B, Ho * Wo, W, C)
+    out = jnp.einsum("bpw,bpwc->bpc", tent_x, rows, precision=precision)
+    return out.reshape(B, Ho, Wo, C).astype(image.dtype)
 
 
 def _grid_sample_patched(image: jnp.ndarray, grid: jnp.ndarray, *,
