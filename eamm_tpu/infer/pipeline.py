@@ -49,7 +49,10 @@ class PipelineOptions:
     frame_chunk: int = 16             # frames per render dispatch
     time_bucket: int = 32             # clip-length padding granularity
     compute_dtype: Any = jnp.float32  # bfloat16 for speed on TPU
-    pallas_warp: bool = False         # VMEM-resident warp kernel (TPU only)
+    # VMEM-resident two-level warp kernel for the generator bottleneck
+    # (2.3x the XLA gather on v5e).  None = auto: on for TPU, off for CPU
+    # (Pallas TPU kernels don't run on the CPU backend).
+    pallas_warp: bool | None = None
     check_add: bool = False           # freeze audio kp at frame 0 (ref:demo.py:253-254)
     # "rgb": ship uint8 RGB frames (bit-exact path, used by parity tests).
     # "yuv420": convert to yuv420p on-device and ship 12 bpp — the mp4's
@@ -86,6 +89,9 @@ class EammPipeline:
         'emo_detector': ...}."""
         self.config = config
         self.options = options or PipelineOptions()
+        if self.options.pallas_warp is None:
+            self.options = dataclasses.replace(
+                self.options, pallas_warp=jax.default_backend() != "cpu")
         self.models = cfg.build_all(
             config, emotion_kind=self.options.emo_type.split("_")[0])
         self.vars = variables

@@ -32,9 +32,10 @@ class DenseMotionNetwork(nn.Module):
     def __call__(self, source_image: jnp.ndarray, kp_driving: dict,
                  kp_source: dict, train: bool = False,
                  shared_source: bool = False) -> dict:
-        """shared_source=True asserts every batch element warps the SAME
-        source image (the batched-clip inference case) and routes the K+1
-        deformed copies through the Pallas VMEM-resident warp kernel."""
+        """shared_source is accepted for interface parity with the
+        generator (which routes its bottleneck warp through the Pallas
+        twolevel kernel when set); the narrow-channel warps here always
+        use the gather-free twolevel dispatch inside grid_sample."""
         src = antialias_downsample(source_image, self.scale_factor)
         B, h, w, C = src.shape
         K = self.num_kp
@@ -51,14 +52,12 @@ class DenseMotionNetwork(nn.Module):
         motions = sparse_motions((h, w), kp_driving["value"], kp_source["value"],
                                  kp_driving.get("jacobian"),
                                  kp_source.get("jacobian"))
-        if shared_source:
-            from eamm_tpu.ops.warp_pallas import grid_sample_shared
-            deformed = grid_sample_shared(
-                src[0], motions.reshape(B * (K + 1), h, w, 2))
-        else:
-            src_rep = jnp.broadcast_to(src[:, None], (B, K + 1, h, w, C))
-            deformed = grid_sample(src_rep.reshape(B * (K + 1), h, w, C),
-                                   motions.reshape(B * (K + 1), h, w, 2))
+        # the narrow-channel source warp dispatches to the gather-free
+        # twolevel tent-matmul inside grid_sample (shared_source only
+        # changes the bottleneck warp in the generator)
+        src_rep = jnp.broadcast_to(src[:, None], (B, K + 1, h, w, C))
+        deformed = grid_sample(src_rep.reshape(B * (K + 1), h, w, C),
+                               motions.reshape(B * (K + 1), h, w, 2))
         deformed = deformed.reshape(B, K + 1, h, w, C)
 
         out = {"sparse_deformed": deformed}

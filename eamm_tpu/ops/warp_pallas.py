@@ -102,3 +102,89 @@ def grid_sample_shared(source: jnp.ndarray, grids: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct(((n_out + pad), C), source.dtype),
     )(flat_grids, src_flat)
     return out[:n_out].reshape(N, Ho, Wo, C)
+
+
+def _twolevel_kernel(fy_ref, fx_ref, src_ref, out_ref, *, H: int, W: int,
+                     C: int, precision):
+    """One tile of output pixels for one batch element.
+
+    fy/fx: [1, n_tiles, tile] unnormalized pixel coords for the whole batch
+    row (16 KB — Mosaic's block rules disallow a (1, tile) vector block, so
+    the kernel slices its tile out by program id); src: [1, H, W*C];
+    out: [1, tile, C].  rows = tent_y @ src is one MXU dot (f32
+    accumulate); the x-tent reduce is an unrolled VPU loop over W static
+    lane-aligned column slices (avoids an in-kernel reshape).
+    """
+    tile = fy_ref.shape[2]
+    i = pl.program_id(1)
+    fy = fy_ref[0, i, :]                  # coords are always f32 (bf16
+    fx = fx_ref[0, i, :]                  # sublane packing forbids the
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (tile, H), 1)  # dyn index)
+    ty = jnp.maximum(0.0, 1.0 - jnp.abs(fy[:, None] - row_idx.astype(fy.dtype)))
+    rows = jnp.dot(ty.astype(src_ref.dtype), src_ref[0],
+                   preferred_element_type=jnp.float32,
+                   precision=precision)                       # [tile, W*C]
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (tile, W), 1)
+    tx = jnp.maximum(0.0, 1.0 - jnp.abs(fx[:, None] - col_idx.astype(fx.dtype)))
+    acc = jnp.zeros((tile, C), jnp.float32)
+    for w in range(W):
+        acc = acc + tx[:, w][:, None] * rows[:, w * C:(w + 1) * C]
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("align_corners", "tile", "exact"))
+def grid_sample_twolevel_pallas(image: jnp.ndarray, grid: jnp.ndarray,
+                                align_corners: bool = False,
+                                tile: int = 128,
+                                exact: bool = False) -> jnp.ndarray:
+    """Gather-free batched bilinear warp for WIDE channel counts.
+
+    Same tent-factorized math as eamm_tpu.ops.warp.grid_sample_twolevel
+    (zeros padding), but the [tile, W*C] intermediate lives in VMEM instead
+    of HBM: the XLA formulation at the generator-bottleneck shape
+    [64,64,64,256] would stream an 8.6 GB temp through HBM (~21 ms at v5e
+    bandwidth) while the row-gather costs ~26 ms; this kernel keeps the
+    per-tile rows on chip so the op runs near the 550 GFLOP MXU cost
+    instead.  ref:modules/generator.py:57 (the per-frame deform of the
+    encoded source feature).
+
+    image: [B, H, W, C]; grid: [B, Ho, Wo, 2].  Returns [B, Ho, Wo, C].
+    C must be a multiple of 128 lanes for the in-kernel column slicing.
+    """
+    B, H, W, C = image.shape
+    _, Ho, Wo, _ = grid.shape
+    if C % 128:
+        raise ValueError(f"C={C} must be a multiple of 128")
+    P = Ho * Wo
+    from eamm_tpu.ops.warp import _unnormalize
+    g32 = grid.astype(jnp.float32)
+    fx = _unnormalize(g32[..., 0], W, align_corners).reshape(B, P)
+    fy = _unnormalize(g32[..., 1], H, align_corners).reshape(B, P)
+    pad = (-P) % tile
+    if pad:
+        # padded pixels sample far outside -> zero tents -> zero output
+        fx = jnp.pad(fx, ((0, 0), (0, pad)), constant_values=-10.0)
+        fy = jnp.pad(fy, ((0, 0), (0, pad)), constant_values=-10.0)
+    n_tiles = (P + pad) // tile
+
+    precision = (jax.lax.Precision.HIGHEST if exact
+                 else jax.lax.Precision.DEFAULT)
+    kernel = functools.partial(_twolevel_kernel, H=H, W=W, C=C,
+                               precision=precision)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, n_tiles, tile), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_tiles, tile), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W * C), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, P + pad, C), image.dtype),
+    )(fy.reshape(B, n_tiles, tile), fx.reshape(B, n_tiles, tile),
+      image.reshape(B, H, W * C))
+    return out[:, :P].reshape(B, Ho, Wo, C)

@@ -37,3 +37,40 @@ def test_identity_grid():
     ident = make_coordinate_grid(8, 8)[None]
     out = _pallas_interpret(src, ident, align_corners=True, tile=64)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(src), atol=1e-5)
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+def test_twolevel_pallas_matches_grid_sample(align_corners):
+    from eamm_tpu.ops import warp_pallas
+    from jax.experimental.pallas import tpu as pltpu
+    rng = np.random.RandomState(2)
+    src = jnp.asarray(rng.randn(3, 16, 8, 128), jnp.float32)
+    grids = jnp.asarray(rng.uniform(-1.2, 1.2, (3, 8, 8, 2)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        ours = warp_pallas.grid_sample_twolevel_pallas(
+            src, grids, align_corners=align_corners, tile=32, exact=True)
+    ref = grid_sample(src, grids, padding_mode="zeros",
+                      align_corners=align_corners)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+def test_twolevel_pallas_tile_padding():
+    """Output-pixel count not a multiple of the tile: padded pixels must
+    not leak into the result."""
+    from eamm_tpu.ops import warp_pallas
+    from jax.experimental.pallas import tpu as pltpu
+    rng = np.random.RandomState(3)
+    src = jnp.asarray(rng.randn(2, 8, 8, 128), jnp.float32)
+    grids = jnp.asarray(rng.uniform(-1.1, 1.1, (2, 5, 3, 2)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        ours = warp_pallas.grid_sample_twolevel_pallas(src, grids, tile=32,
+                                                       exact=True)
+    ref = grid_sample(src, grids)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+def test_twolevel_pallas_rejects_unaligned_channels():
+    from eamm_tpu.ops import warp_pallas
+    with pytest.raises(ValueError):
+        warp_pallas.grid_sample_twolevel_pallas(
+            jnp.zeros((1, 8, 8, 64)), jnp.zeros((1, 4, 4, 2)))
