@@ -2,7 +2,9 @@
 full config with synthetic LRW/MEAD-shaped batches.  Prints one JSON line
 per stage.  Select stages with EAMM_BENCH_STAGES=part1,fine_tune,part2
 (default: all three — fine-tune is the heaviest: generator training +
-VGG perceptual + GAN alternation, ref:train.py:133-270)."""
+VGG perceptual + GAN alternation, ref:train.py:133-270) and the training
+compute dtype with EAMM_TRAIN_DTYPE=float32|bfloat16 (mixed precision:
+master params/opt state/BN stats stay f32)."""
 from __future__ import annotations
 
 import json
@@ -54,6 +56,10 @@ def _batch(rng, B, T=16, mead=False):
     return batch
 
 
+def _train_dtype():
+    return os.environ.get("EAMM_TRAIN_DTYPE", "float32")
+
+
 def _run(name, step, state, batch, steps):
     import jax.numpy as jnp
     from eamm_tpu.utils import StepTimer
@@ -68,6 +74,7 @@ def _run(name, step, state, batch, steps):
         timer.tick()
     print(json.dumps({
         "metric": f"{name}_steps_per_sec",
+        "compute_dtype": _train_dtype(),
         "batch_size": int(batch["driving"].shape[0]),
         **timer.summary(),
         "total_incl_compile_sec": round(time.time() - t0, 1),
@@ -83,7 +90,8 @@ def bench_part1(steps=6, batch_size=8):
     models = _models()
     tp = {"loss_weights": {"audio": 10, "perceptual": [0] * 5,
                            "generator_gan": 0},
-          "generator": "not", "scales": [1]}
+          "generator": "not", "scales": [1],
+          "compute_dtype": _train_dtype()}
     batch = _batch(np.random.RandomState(0), batch_size)
     opt = make_optimizer()
     state = init_part1_state(jax.random.PRNGKey(0), models, batch, opt)
@@ -103,7 +111,8 @@ def bench_fine_tune(steps=6, batch_size=6):
                            "perceptual": [0.1, 0.1, 0.1, 0.1, 0.1],
                            "generator_gan": 1.0, "discriminator_gan": 1.0,
                            "feature_matching": [10, 10, 10, 10]},
-          "generator": "audio", "scales": [1]}
+          "generator": "audio", "scales": [1],
+          "compute_dtype": _train_dtype()}
     batch = _batch(np.random.RandomState(1), batch_size)
     g_opt, d_opt = make_optimizer(), make_optimizer()
     rng = jax.random.PRNGKey(1)
@@ -124,7 +133,7 @@ def bench_part2(steps=6, batch_size=16):
     tp = {"loss_weights": {"audio": 10, "emo": 10, "perceptual": [0] * 5,
                            "generator_gan": 0},
           "generator": "not", "scales": [1], "type": "linear_4",
-          "classify": True}
+          "classify": True, "compute_dtype": _train_dtype()}
     batch = _batch(np.random.RandomState(2), batch_size, mead=True)
     opt = make_optimizer()
     state = init_part2_state(jax.random.PRNGKey(2), models, batch, opt)

@@ -37,6 +37,12 @@ def build_parser() -> ArgumentParser:
                              "features are used (with a warning) otherwise")
     parser.add_argument("--max_steps", type=int, default=None,
                         help="stop after N optimizer steps (smoke runs)")
+    parser.add_argument("--compute_dtype", default=None,
+                        choices=["float32", "bfloat16"],
+                        help="training compute dtype override (master "
+                             "params/optimizer/BN stats stay f32; bfloat16 "
+                             "halves HBM traffic on the bandwidth-bound "
+                             "fine-tune step)")
     parser.add_argument("--seed", type=int, default=0)
     # accepted for reference-CLI parity; the mesh uses all visible devices
     parser.add_argument("--device_ids", default="0", type=str)
@@ -50,6 +56,8 @@ def main(argv=None):
     from eamm_tpu.train.loop import train
 
     config = load_config(opt.config)
+    if opt.compute_dtype:
+        config["train_params"]["compute_dtype"] = opt.compute_dtype
 
     # timestamped log dir with the config copied in for provenance
     # (ref:run.py:47-56)

@@ -31,8 +31,12 @@ class SNConv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         w = kernel
         if self.use_sn:
-            # Power-iteration vector persists across steps in batch_stats.
-            w_mat = kernel.transpose(3, 2, 0, 1).reshape(self.features, -1)
+            # Power-iteration vector persists across steps in batch_stats
+            # and stays f32; the iteration runs in f32 even under bf16
+            # mixed-precision compute (norm estimates degrade in bf16),
+            # only the final 1/sigma scale is cast back.
+            w_mat = kernel.astype(jnp.float32) \
+                .transpose(3, 2, 0, 1).reshape(self.features, -1)
             u_var = self.variable(
                 "batch_stats", "u",
                 lambda: jax.random.normal(jax.random.PRNGKey(0),
@@ -45,7 +49,7 @@ class SNConv(nn.Module):
             if update_stats and not self.is_initializing():
                 u_var.value = u_new
             sigma = u_new @ (w_mat @ v)
-            w = kernel / sigma
+            w = kernel / sigma.astype(kernel.dtype)
         dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
                                             ("NHWC", "HWIO", "NHWC"))
         p = self.padding

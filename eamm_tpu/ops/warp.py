@@ -20,6 +20,11 @@ import jax
 import jax.numpy as jnp
 
 
+# Cap on the twolevel rows intermediate before the batch axis is chunked
+# (module-level so tests can exercise the chunked path at small shapes).
+TWOLEVEL_MAX_ROWS_BYTES = 1_300_000_000
+
+
 def _unnormalize(coord: jnp.ndarray, size: int, align_corners: bool) -> jnp.ndarray:
     """Map [-1, 1] to pixel coordinates."""
     if align_corners:
@@ -144,6 +149,13 @@ def grid_sample_twolevel(image: jnp.ndarray, grid: jnp.ndarray, *,
     precision so parity-path numerics stay exact (maxdiff 1.8e-7 vs the
     gather path); bf16 runs at native MXU precision.
 
+    The [B, P, W, C] y-interpolated rows intermediate is the memory cost
+    (a residual under autodiff: the x-tent backward reads it).  Above
+    ~1.2 GiB the batch axis is processed in lax.map chunks with
+    jax.checkpoint, so backward recomputes each chunk's rows instead of
+    holding them all — without this the fine-tune training step
+    (B=1056 warps, 3.3 GB of rows f32) exhausts v5e HBM.
+
     image: [B, H, W, C]; grid: [B, Ho, Wo, 2].  Returns [B, Ho, Wo, C].
     """
     B, H, W, C = image.shape
@@ -159,17 +171,40 @@ def grid_sample_twolevel(image: jnp.ndarray, grid: jnp.ndarray, *,
 
     rows_idx = jnp.arange(H, dtype=dt)
     cols_idx = jnp.arange(W, dtype=dt)
-    tent_y = jnp.maximum(0.0, 1.0 - jnp.abs(fy[..., None] - rows_idx))
-    tent_x = jnp.maximum(0.0, 1.0 - jnp.abs(fx[..., None] - cols_idx))
-
     precision = (jax.lax.Precision.HIGHEST if dt == jnp.float32
                  else jax.lax.Precision.DEFAULT)
-    # [B,P,H] x [B,H,W*C] -> [B,P,W,C]: the y-interpolated source row per
-    # output pixel (2 nonzero tents -> sum of two rows)
-    rows = jnp.einsum("bph,bhx->bpx", tent_y,
-                      image.astype(dt).reshape(B, H, W * C),
-                      precision=precision).reshape(B, Ho * Wo, W, C)
-    out = jnp.einsum("bpw,bpwc->bpc", tent_x, rows, precision=precision)
+
+    def coords_to_out(fy, fx, img_flat):
+        # tents built inside so the chunked/checkpointed path keeps only
+        # the [b,P] coords as residuals, not the [b,P,H+W] tents
+        tent_y = jnp.maximum(0.0, 1.0 - jnp.abs(fy[..., None] - rows_idx))
+        tent_x = jnp.maximum(0.0, 1.0 - jnp.abs(fx[..., None] - cols_idx))
+        # [b,P,H] x [b,H,W*C] -> [b,P,W,C]: the y-interpolated source row
+        # per output pixel (2 nonzero tents -> sum of two rows)
+        rows = jnp.einsum("bph,bhx->bpx", tent_y, img_flat,
+                          precision=precision).reshape(
+                              tent_y.shape[0], Ho * Wo, W, C)
+        return jnp.einsum("bpw,bpwc->bpc", tent_x, rows, precision=precision)
+
+    img_flat = image.astype(dt).reshape(B, H, W * C)
+    itemsize = jnp.dtype(dt).itemsize
+    rows_bytes = B * Ho * Wo * W * C * itemsize
+    if rows_bytes > TWOLEVEL_MAX_ROWS_BYTES:
+        chunk = max(1, TWOLEVEL_MAX_ROWS_BYTES // (Ho * Wo * W * C * itemsize))
+        pad = (-B) % chunk
+        if pad:
+            fy = jnp.pad(fy, ((0, pad), (0, 0)), constant_values=-10.0)
+            fx = jnp.pad(fx, ((0, pad), (0, 0)), constant_values=-10.0)
+            img_flat = jnp.pad(img_flat, ((0, pad), (0, 0), (0, 0)))
+        n = (B + pad) // chunk
+        out = jax.lax.map(
+            jax.checkpoint(lambda args: coords_to_out(*args)),
+            (fy.reshape(n, chunk, Ho * Wo),
+             fx.reshape(n, chunk, Ho * Wo),
+             img_flat.reshape(n, chunk, H, W * C)))
+        out = out.reshape(B + pad, Ho * Wo, C)[:B]
+    else:
+        out = coords_to_out(fy, fx, img_flat)
     return out.reshape(B, Ho, Wo, C).astype(image.dtype)
 
 

@@ -55,6 +55,39 @@ def _fold(x):
     return x.reshape((-1,) + x.shape[2:])
 
 
+def _compute_dtype(train_params: dict):
+    """Mixed-precision policy: ``train_params['compute_dtype']``
+    ('float32' default | 'bfloat16').
+
+    The v5e fine-tune step is HBM-bandwidth-bound (352 GB accessed/step =
+    ~100% of 819 GB/s at f32), so halving activation bytes is the lever
+    that matters.  bf16 casts apply to *compute* only: master params,
+    optimizer state and BatchNorm running statistics stay f32 (flax
+    computes BN batch statistics in f32 regardless of input dtype), and
+    gradients arrive back in f32 through the cast.  bf16 needs no loss
+    scaling (same exponent range as f32)."""
+    name = train_params.get("compute_dtype", "float32")
+    return jnp.dtype(name)
+
+
+def _metrics_f32(tree):
+    """Report scalars in f32 regardless of the compute dtype."""
+    return jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if isinstance(x, jnp.ndarray) and jnp.issubdtype(x.dtype, jnp.floating)
+        else x, tree)
+
+
+def _cast_floating(tree, dt):
+    """Cast f32 floating leaves to the compute dtype (no-op for f32)."""
+    if dt == jnp.float32:
+        return tree
+    return jax.tree.map(
+        lambda x: x.astype(dt)
+        if isinstance(x, jnp.ndarray) and x.dtype == jnp.float32 else x,
+        tree)
+
+
 def _apply_kp_detector(model, params, stats, images, train):
     variables = {"params": params, "batch_stats": stats}
     return model.apply(variables, images, train=train)
@@ -119,8 +152,12 @@ def _make_part1_loss(models: dict, train_params: dict) -> Callable:
     gan_w = weights.get("generator_gan", 0)
     fm_w = tuple(weights.get("feature_matching", ()))
     use_gan = gen_mode in ("visual", "audio") and gan_w != 0
+    dt = _compute_dtype(train_params)
 
     def loss_fn(trainable, frozen, batch_stats, batch):
+        trainable = _cast_floating(trainable, dt)
+        frozen = _cast_floating(frozen, dt)
+        batch = _cast_floating(batch, dt)
         params = {**frozen, **trainable}
         B, T = batch["driving"].shape[:2]
         gen_out = None
@@ -228,6 +265,7 @@ def make_part1_step(models: dict, train_params: dict,
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)
+        metrics = _metrics_f32(metrics)
         metrics["total"] = sum(v for k, v in metrics.items())
         return Part1State(trainable, state.frozen, new_stats, opt_state,
                           state.step + 1), metrics
@@ -291,6 +329,7 @@ def make_part1_gan_step(models: dict, train_params: dict, optimizer,
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)
+        metrics = _metrics_f32(metrics)
         metrics["total"] = sum(v for k, v in metrics.items())
 
         disc_params, disc_stats, disc_opt_state, dmetrics = disc_step(
@@ -318,8 +357,12 @@ def make_discriminator_step(models: dict, train_params: dict,
     """
     weights = train_params["loss_weights"]
     scales = tuple(models["discriminator"].scales)
+    dt = _compute_dtype(train_params)
 
     def loss_fn(disc_params, disc_stats, batch, generated):
+        disc_params = _cast_floating(disc_params, dt)
+        batch = _cast_floating(batch, dt)
+        generated = _cast_floating(generated, dt)
         pyr_real = L.image_pyramid(batch["driving"][:, 0], scales)
         pyr_fake = L.image_pyramid(
             jax.lax.stop_gradient(generated["prediction"]), scales)
@@ -341,7 +384,7 @@ def make_discriminator_step(models: dict, train_params: dict,
             loss_fn, has_aux=True)(disc_params, disc_stats, batch, generated)
         updates, opt_state = optimizer.update(grads, opt_state, disc_params)
         disc_params = optax.apply_updates(disc_params, updates)
-        return disc_params, new_stats, opt_state, {"disc_gan": loss}
+        return disc_params, new_stats, opt_state, _metrics_f32({"disc_gan": loss})
 
     return step
 
@@ -431,8 +474,12 @@ def make_part2_step(models: dict, train_params: dict, optimizer) -> Callable:
     ten_kp = "10" in train_params.get("type", "linear_4")
     classify = bool(train_params.get("classify", True))
     smooth = bool(train_params.get("smooth", False))
+    dt = _compute_dtype(train_params)
 
     def loss_fn(trainable, frozen, batch_stats, batch):
+        trainable = _cast_floating(trainable, dt)
+        frozen = _cast_floating(frozen, dt)
+        batch = _cast_floating(batch, dt)
         B, T = batch["driving"].shape[:2]
         driving = _fold(batch["driving"])
         transformed = _fold(batch["transformed_driving"])
@@ -493,6 +540,7 @@ def make_part2_step(models: dict, train_params: dict, optimizer) -> Callable:
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)
+        metrics = _metrics_f32(metrics)
         metrics["total"] = sum(metrics.values())
         return Part2State(trainable, state.frozen, new_stats, opt_state,
                           state.step + 1), metrics

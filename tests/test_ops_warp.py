@@ -80,3 +80,28 @@ def test_avg_pool_matches_torch():
     ours = np.asarray(avg_pool_2x(jnp.asarray(img)))
     ref = F.avg_pool2d(torch.from_numpy(img).permute(0, 3, 1, 2), (2, 2))
     np.testing.assert_allclose(ours, ref.permute(0, 2, 3, 1).numpy(), atol=1e-6)
+
+
+def test_twolevel_chunked_matches_unchunked_with_grad():
+    import jax
+    """Large-batch twolevel path (lax.map + checkpoint chunks) must match
+    the one-shot path in value AND gradient."""
+    from eamm_tpu.ops import warp as warp_mod
+    rng = np.random.RandomState(7)
+    img = jnp.asarray(rng.randn(6, 8, 8, 3), jnp.float32)
+    grid = jnp.asarray(rng.uniform(-1.2, 1.2, (6, 8, 8, 2)), jnp.float32)
+
+    def loss(img, grid):
+        out = warp_mod.grid_sample_twolevel(img, grid)
+        return jnp.sum(out * out), out
+
+    (l0, o0), g0 = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(img, grid)
+    old = warp_mod.TWOLEVEL_MAX_ROWS_BYTES
+    warp_mod.TWOLEVEL_MAX_ROWS_BYTES = 8 * 8 * 8 * 3 * 4 * 2  # 2-elem chunks
+    try:
+        (l1, o1), g1 = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(img, grid)
+    finally:
+        warp_mod.TWOLEVEL_MAX_ROWS_BYTES = old
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g0[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g0[1]), atol=1e-4)
