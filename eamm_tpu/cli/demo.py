@@ -122,12 +122,21 @@ def video_fps(path: str | None, default: float = 25.0) -> float:
 
 
 def write_video(path: str, frames_uint8: np.ndarray, fps: float = 25.0):
+    """mp4 via imageio when a backend exists; otherwise a playable
+    uncompressed AVI from the native muxer (no codec/ffmpeg needed,
+    native/avi_writer.cc); PNG frames + npy as the last resort."""
     try:
         import imageio.v2 as imageio
         imageio.mimsave(path, list(frames_uint8), fps=fps)
         return path
     except Exception:
-        # no mp4 backend: dump PNG frames + raw npy
+        pass
+    try:
+        from eamm_tpu.data.native import write_avi_rgb
+        return write_avi_rgb(os.path.splitext(path)[0] + ".avi",
+                             frames_uint8, fps=fps)
+    except Exception:
+        # dump PNG frames + raw npy
         stem = os.path.splitext(path)[0]
         os.makedirs(stem, exist_ok=True)
         np.save(stem + ".npy", frames_uint8)
@@ -228,15 +237,16 @@ def main(argv=None):
                                     add_emo=True)
         path = write_video(os.path.join(opt.result_path, "emotion.mp4"),
                            emotion, fps=out_fps)
-        add_audio(os.path.join(opt.result_path, "emotion.mp4"), opt.in_file)
+        add_audio(path, opt.in_file)
         outputs["emotion"] = emotion
         T = len(emotion)
         drv = np.resize(driving, (T,) + driving.shape[1:])
         drv8 = np.clip(np.round(drv * 255), 0, 255).astype(np.uint8)
         allv = np.concatenate([drv8, np.resize(neutral, emotion.shape),
                                emotion], axis=2)
-        write_video(os.path.join(opt.result_path, "all.mp4"), allv, fps=25.0)
-        add_audio(os.path.join(opt.result_path, "all.mp4"), opt.in_file)
+        all_path = write_video(os.path.join(opt.result_path, "all.mp4"),
+                               allv, fps=25.0)
+        add_audio(all_path, opt.in_file)
     print({k: v.shape for k, v in outputs.items()})
     return outputs
 

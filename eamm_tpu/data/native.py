@@ -81,3 +81,113 @@ def decode_batch(paths: list[str], h: int, w: int,
     if rc != 0:
         raise IOError(f"native decode failed for {paths[rc - 1]!r}")
     return out
+
+
+def _load_avi():
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib.eamm_write_avi_rgb, "_configured"):
+        lib.eamm_write_avi_rgb.restype = ctypes.c_int
+        lib.eamm_write_avi_rgb.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.eamm_write_avi_i420.restype = ctypes.c_int
+        lib.eamm_write_avi_i420.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
+        lib.eamm_write_avi_rgb._configured = True
+    return lib
+
+
+def _fps_rational(fps: float) -> tuple[int, int]:
+    return max(1, int(round(fps * 1000))), 1000
+
+
+def _py_avi(path, n, w, h, fps, frame_size, bit_count, compression,
+            handler, frames_iter):
+    """Pure-python AVI muxer (same wire format as native/avi_writer.cc);
+    fallback when the C++ library cannot build."""
+    import struct
+    num, den = _fps_rational(fps)
+    avih, strh, strf = 56, 56, 40
+    strl = 4 + 8 + strh + 8 + strf
+    hdrl = 4 + 8 + avih + 8 + strl
+    movi = 4 + n * (8 + frame_size)
+    idx1 = n * 16
+    riff = 4 + 8 + hdrl + 8 + movi + 8 + idx1
+    with open(path, "wb") as f:
+        w32 = lambda *v: f.write(struct.pack("<" + "I" * len(v), *v))
+        f.write(b"RIFF"); w32(riff); f.write(b"AVI ")
+        f.write(b"LIST"); w32(hdrl); f.write(b"hdrl")
+        f.write(b"avih"); w32(avih, 1000000 * den // num, frame_size * num // den,
+                              0, 0x10, n, 0, 1, frame_size, w, h, 0, 0, 0, 0)
+        f.write(b"LIST"); w32(strl); f.write(b"strl")
+        f.write(b"strh"); w32(strh); f.write(b"vids"); f.write(handler)
+        w32(0, 0, 0, den, num, 0, n, frame_size, 0xFFFFFFFF, 0)
+        f.write(struct.pack("<4H", 0, 0, w, h))
+        f.write(b"strf"); w32(strf, strf, w, h)
+        f.write(struct.pack("<2H", 1, bit_count))
+        w32(compression, frame_size, 0, 0, 0, 0)
+        f.write(b"LIST"); w32(movi); f.write(b"movi")
+        for data in frames_iter:
+            f.write(b"00db"); w32(frame_size); f.write(data)
+        f.write(b"idx1"); w32(idx1)
+        off = 4
+        for _ in range(n):
+            f.write(b"00db"); w32(0x10, off, frame_size)
+            off += 8 + frame_size
+    return path
+
+
+def write_avi_rgb(path: str, frames: np.ndarray, fps: float = 25.0) -> str:
+    """Mux [N, H, W, 3] uint8 RGB frames into an uncompressed DIB AVI
+    (playable without any codec).  Native C++ when available, pure-python
+    fallback with the identical wire format otherwise."""
+    frames = np.ascontiguousarray(frames, np.uint8)
+    n, h, w = frames.shape[:3]
+    lib = _load_avi()
+    if lib is not None:
+        num, den = _fps_rational(fps)
+        rc = lib.eamm_write_avi_rgb(
+            path.encode(), frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n, w, h, num, den)
+        if rc != 0:
+            raise IOError(f"native AVI write failed ({rc}) for {path!r}")
+        return path
+    stride = (w * 3 + 3) & ~3
+    def gen():
+        pad = np.zeros((h, stride - w * 3), np.uint8)
+        for fr in frames:
+            bgr = fr[::-1, :, ::-1]                    # bottom-up BGR
+            yield np.concatenate(
+                [bgr.reshape(h, w * 3), pad], axis=1).tobytes()
+    return _py_avi(path, n, w, h, fps, stride * h, 24, 0, b"DIB ", gen())
+
+
+def write_avi_i420(path: str, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                   fps: float = 25.0) -> str:
+    """Mux yuv420p planes (the pipeline's ``transfer_format='yuv420'``
+    output: y [N,H,W], u/v [N,H/2,W/2] uint8) into an 'I420' AVI — a
+    straight plane copy, zero host-side pixel conversion."""
+    y = np.ascontiguousarray(y, np.uint8)
+    u = np.ascontiguousarray(u, np.uint8)
+    v = np.ascontiguousarray(v, np.uint8)
+    n, h, w = y.shape
+    lib = _load_avi()
+    if lib is not None:
+        num, den = _fps_rational(fps)
+        ptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        rc = lib.eamm_write_avi_i420(path.encode(), ptr(y), ptr(u), ptr(v),
+                                     n, w, h, num, den)
+        if rc != 0:
+            raise IOError(f"native AVI write failed ({rc}) for {path!r}")
+        return path
+    fourcc = int.from_bytes(b"I420", "little")
+    def gen():
+        for i in range(n):
+            yield y[i].tobytes() + u[i].tobytes() + v[i].tobytes()
+    return _py_avi(path, n, w, h, fps, w * h * 3 // 2, 12, fourcc,
+                   b"I420", gen())

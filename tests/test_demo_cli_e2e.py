@@ -99,8 +99,14 @@ def test_demo_cli_full_emotional_run(demo_env):
     # random weights is small — kp composition itself is parity-tested)
     assert np.any(out["neutral"] != out["emotion"])
     produced = set(os.listdir(f"{d}/result"))
-    assert {"neutral.npy", "emotion.npy", "all.npy"} <= produced \
+    # no mp4 backend in this image -> the native AVI muxer writes playable
+    # uncompressed .avi files (PNG-dir/.npy is the last-resort fallback)
+    assert {"neutral.avi", "emotion.avi", "all.avi"} <= produced \
+        or {"neutral.npy", "emotion.npy", "all.npy"} <= produced \
         or {"neutral", "emotion", "all"} <= produced
+    if "neutral.avi" in produced:
+        head = open(f"{d}/result/neutral.avi", "rb").read(12)
+        assert head[:4] == b"RIFF" and head[8:12] == b"AVI "
 
 
 def test_demo_cli_fps_propagation_and_cpu(demo_env, monkeypatch):
