@@ -1,0 +1,101 @@
+"""Input-pipeline throughput: can the host feed the TPU training step?
+
+Builds a synthetic LRW-layout dataset on disk (real PNG files), then
+measures DataLoader batches/sec for the part1/fine-tune batch shape with
+the native C++ decoder (libpng worker threads) and with the imageio
+fallback.  The fine-tune step runs at ~3 steps/s (BASELINE.md), i.e. the
+loader must sustain ~0.3 GB/s of decoded pixels to keep the chip busy.
+
+Prints one JSON line per variant.  EAMM_LOADER_CLIPS / EAMM_LOADER_STEPS
+override the dataset / measurement size.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_synthetic_lrw(root: str, n_clips: int, frames: int = 30,
+                        size: int = 256) -> None:
+    """LRW layout: Image/train_fo/<word>/<clip>/<N>.png +
+    MFCC/train/<word>/<clip>/<N>.npy + pose/train_fo/<word>/<clip>.npy
+    (see eamm_tpu/data/datasets.py:5-7)."""
+    import imageio.v2 as imageio
+    rng = np.random.RandomState(0)
+    for c in range(n_clips):
+        img = os.path.join(root, "Image", "train_fo", "WORD", f"clip{c:04d}")
+        mfcc = os.path.join(root, "MFCC", "train", "WORD", f"clip{c:04d}")
+        pose = os.path.join(root, "pose", "train_fo", "WORD")
+        os.makedirs(img, exist_ok=True)
+        os.makedirs(mfcc, exist_ok=True)
+        os.makedirs(pose, exist_ok=True)
+        # realistic-entropy frames (uniform noise PNGs are worst-case for
+        # libpng; smooth gradients + noise approximates face footage)
+        base = rng.rand(size, size, 3) * 0.5
+        for i in range(frames):
+            frame = np.clip(base + 0.2 * rng.rand(size, size, 3), 0, 1)
+            imageio.imwrite(os.path.join(img, f"{i}.png"),
+                            (frame * 255).astype(np.uint8))
+            np.save(os.path.join(mfcc, f"{i}.npy"), rng.randn(28, 13))
+        np.save(os.path.join(pose, f"clip{c:04d}.npy"),
+                rng.randn(frames, 7).astype(np.float32))
+
+
+def bench(native: bool, root: str, batch_size: int, steps: int,
+          num_workers: int) -> None:
+    from eamm_tpu.data import native as native_mod
+    from eamm_tpu.data.datasets import AudioDataset, DatasetRepeater, DataLoader
+    if not native:
+        native_mod._lib_failed = True            # force imageio fallback
+        native_mod._lib = None
+    else:
+        native_mod._lib_failed = False
+        native_mod._lib = None
+        if not native_mod.native_available():
+            print(json.dumps({"metric": "loader_batches_per_sec",
+                              "native": True, "skipped": "no toolchain"}))
+            return
+    ds = DatasetRepeater(AudioDataset(root, is_train=True), 100000)
+    loader = DataLoader(ds, batch_size=batch_size, num_workers=num_workers,
+                        prefetch=2)
+    it = iter(loader)
+    batch = next(it)                              # warm the pool
+    bytes_per_batch = sum(v.nbytes for v in batch.values())
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        batch = next(it)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "loader_batches_per_sec",
+        "native": native,
+        "batch_size": batch_size,
+        "num_workers": num_workers,
+        "batches_per_sec": round(steps / dt, 2),
+        "decoded_MB_per_sec": round(bytes_per_batch * steps / dt / 1e6, 1),
+        "MB_per_batch": round(bytes_per_batch / 1e6, 1),
+    }), flush=True)
+    it.close()                                    # stop the producer thread
+
+
+def main():
+    n_clips = int(os.environ.get("EAMM_LOADER_CLIPS", "24"))
+    steps = int(os.environ.get("EAMM_LOADER_STEPS", "20"))
+    workers = int(os.environ.get("EAMM_LOADER_WORKERS", str(os.cpu_count() or 4)))
+    with tempfile.TemporaryDirectory() as root:
+        print(f"building synthetic LRW layout ({n_clips} clips)...",
+              file=sys.stderr)
+        build_synthetic_lrw(root, n_clips)
+        for native in (True, False):
+            bench(native, root, batch_size=6, steps=steps,
+                  num_workers=workers)
+
+
+if __name__ == "__main__":
+    main()

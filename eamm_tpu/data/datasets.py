@@ -405,3 +405,7 @@ class DataLoader:
                 yield item
         finally:
             cancel.set()
+            # deterministic shutdown: in-flight decodes finish while their
+            # inputs still exist (callers may delete the dataset dir right
+            # after closing the iterator)
+            t.join(timeout=10.0)
