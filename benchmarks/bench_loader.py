@@ -66,7 +66,10 @@ def bench(native: bool, root: str, batch_size: int, steps: int,
     loader = DataLoader(ds, batch_size=batch_size, num_workers=num_workers,
                         prefetch=2)
     it = iter(loader)
-    batch = next(it)                              # warm the pool
+    # warm-up: drain the prefetch queue + in-flight decodes so the timed
+    # loop measures steady-state production, not pre-decoded batches
+    for _ in range(1 + loader.prefetch + num_workers):
+        batch = next(it)
     bytes_per_batch = sum(v.nbytes for v in batch.values())
     t0 = time.perf_counter()
     for _ in range(steps):

@@ -147,12 +147,16 @@ def write_video(path: str, frames_uint8: np.ndarray, fps: float = 25.0):
 
 
 def add_audio(video_path: str, audio_path: str):
-    """ffmpeg remux (ref:demo.py:427-431); silently skipped without ffmpeg."""
+    """ffmpeg remux (ref:demo.py:427-431); silently skipped without ffmpeg,
+    for non-video outputs (PNG-dir fallback), and whenever the remux target
+    would equal the input (never clobber the just-written file)."""
     import shutil
     import subprocess
-    if shutil.which("ffmpeg") is None or not os.path.exists(video_path):
+    if shutil.which("ffmpeg") is None or not os.path.isfile(video_path):
         return
-    out = video_path.replace(".mp4", ".mov")
+    out = os.path.splitext(video_path)[0] + ".mov"
+    if os.path.abspath(out) == os.path.abspath(video_path):
+        return
     subprocess.run(["ffmpeg", "-i", video_path, "-i", audio_path, "-vcodec",
                     "copy", "-acodec", "copy", "-y", out], check=False)
 

@@ -371,29 +371,37 @@ class DataLoader:
             from collections import deque
             from concurrent.futures import ThreadPoolExecutor
             it = iter(batches)
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                pending: deque = deque()
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    pending: deque = deque()
 
-                def submit_next():
-                    b = next(it, None)
-                    if b is not None:
-                        pending.append(pool.submit(
-                            lambda b=b: self._collate(
-                                [self.dataset[i] for i in b])))
+                    def submit_next():
+                        b = next(it, None)
+                        if b is not None:
+                            pending.append(pool.submit(
+                                lambda b=b: self._collate(
+                                    [self.dataset[i] for i in b])))
 
-                for _ in range(self.num_workers):
-                    submit_next()
-                while pending and not cancel.is_set():
-                    item = pending.popleft().result()
-                    while not cancel.is_set():
-                        try:
-                            q.put(item, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                    submit_next()
-            if not cancel.is_set():
-                q.put(stop)
+                    for _ in range(self.num_workers):
+                        submit_next()
+                    while pending and not cancel.is_set():
+                        item = pending.popleft().result()
+                        while not cancel.is_set():
+                            try:
+                                q.put(item, timeout=0.1)
+                                break
+                            except queue.Full:
+                                continue
+                        submit_next()
+                sentinel = stop
+            except BaseException as e:      # surface decode errors to the
+                sentinel = ("__error__", e)  # consumer instead of hanging it
+            while not cancel.is_set():
+                try:
+                    q.put(sentinel, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -402,6 +410,9 @@ class DataLoader:
                 item = q.get()
                 if item is stop:
                     break
+                if isinstance(item, tuple) and len(item) == 2 \
+                        and item[0] == "__error__":
+                    raise item[1]
                 yield item
         finally:
             cancel.set()

@@ -84,9 +84,22 @@ def decode_batch(paths: list[str], h: int, w: int,
 
 
 def _load_avi():
+    global _lib
     lib = _load()
     if lib is None:
         return None
+    if not hasattr(lib, "eamm_write_avi_rgb"):
+        # stale libeamm_native.so from before the AVI muxer existed:
+        # rebuild once; fall back to the pure-python muxer on failure
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR, "clean", "all"],
+                           check=True, capture_output=True)
+            _lib = None
+            lib = _load()
+        except Exception:
+            return None
+        if lib is None or not hasattr(lib, "eamm_write_avi_rgb"):
+            return None
     if not hasattr(lib.eamm_write_avi_rgb, "_configured"):
         lib.eamm_write_avi_rgb.restype = ctypes.c_int
         lib.eamm_write_avi_rgb.argtypes = [
@@ -176,6 +189,8 @@ def write_avi_i420(path: str, y: np.ndarray, u: np.ndarray, v: np.ndarray,
     u = np.ascontiguousarray(u, np.uint8)
     v = np.ascontiguousarray(v, np.uint8)
     n, h, w = y.shape
+    if h % 2 or w % 2:
+        raise ValueError(f"I420 needs even dimensions, got {h}x{w}")
     lib = _load_avi()
     if lib is not None:
         num, den = _fps_rational(fps)

@@ -96,9 +96,14 @@ class OcclusionAwareGenerator(nn.Module):
                 if occlusion_map is not None:
                     output["occlusion_map"] = occlusion_map
             deformation = dense_motion["deformation"]
-            if shared_source and out.shape[-1] % 128 == 0:
-                # bottleneck warp: gather-free VMEM two-level kernel
-                # (2.3x the XLA gather at [64,64,64,256] bf16 on v5e)
+            if (shared_source and out.shape[-1] % 128 == 0
+                    and out.dtype == jnp.bfloat16):
+                # bottleneck warp: gather-free VMEM two-level kernel, bf16
+                # compute only (25.5->11.3 ms at [64,64,64,256] on v5e).
+                # f32 stays on the exact gather path: the kernel's
+                # f32-exact mode needs multi-pass MXU dots and measures
+                # SLOWER than the gather (39.5 vs 30 ms), and its native
+                # precision would break the <1e-2 parity guarantee.
                 from eamm_tpu.ops.warp_pallas import grid_sample_twolevel_pallas
                 if deformation.shape[1:3] != out.shape[1:3]:
                     deformation = resize_bilinear(deformation, out.shape[1:3])

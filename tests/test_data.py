@@ -227,3 +227,18 @@ def test_dataloader_early_exit_no_leak():
     import time
     time.sleep(0.5)
     assert threading.active_count() <= before + 1
+
+
+def test_dataloader_surfaces_decode_errors(lrw_root, tmp_path):
+    """A failing sample must raise in the consumer, not hang it
+    (the producer thread forwards its exception through the queue)."""
+    from eamm_tpu.data.datasets import AudioDataset, DataLoader
+
+    class Broken(AudioDataset):
+        def __getitem__(self, idx):
+            raise IOError("corrupt frame")
+
+    ds = Broken(lrw_root, is_train=True)
+    loader = DataLoader(ds, batch_size=1, num_workers=1, prefetch=1)
+    with pytest.raises(IOError, match="corrupt frame"):
+        next(iter(loader))
