@@ -10,6 +10,7 @@ Layers
 - ``eamm_tpu.data``      datasets, augmentation, host-side preprocessing
 - ``eamm_tpu.train``     loss composition, pjit train steps, checkpointing, logging
 - ``eamm_tpu.infer``     batched clip renderer + demo pipeline
+- ``eamm_tpu.serve``     dynamic-batching render server for production serving
 - ``eamm_tpu.compat``    torch checkpoint -> jax parameter conversion
 - ``eamm_tpu.cli``       demo.py / run.py compatible command-line entry points
 
@@ -17,4 +18,4 @@ The reference implementation being re-designed (not ported) lives at
 /root/reference (jixinya/EAMM); docstrings cite it as ``ref:<file>:<lines>``.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -1,0 +1,169 @@
+"""Production serving: dynamic request batching over the batched renderer.
+
+The reference has no serving story (its demo.py renders one clip per
+process invocation, frame by frame — ref:demo.py:212-281).  On TPU the
+economics invert: the whole-clip program renders N identities at once for
+nearly the cost of one (bench: 4-identity aggregate throughput within the
+single-clip delivery envelope), so a server should *coalesce* concurrent
+requests into one device dispatch.
+
+``RenderServer`` wraps an ``EammPipeline`` with a background worker that:
+
+1. blocks on the first queued request, then waits up to ``max_delay_ms``
+   for more (classic dynamic batching),
+2. pads the group to exactly ``max_batch`` by replicating the first
+   request — the jitted batch program specializes on batch size, so a
+   FIXED size means ONE compilation per clip-length bucket instead of one
+   per occupancy level,
+3. runs ``render_batch_uint8`` / ``render_batch_yuv420`` and resolves each
+   request's Future with its own clip trimmed to its own true length.
+
+Thread-safe; ``submit`` never blocks on device work.  No external
+dependencies — callers can put an HTTP/gRPC front on the Future API.
+"""
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class _Request:
+    source: np.ndarray
+    waveform: np.ndarray
+    pose: np.ndarray
+    frames: int                 # true clip length for trimming
+    future: Future
+    t_enqueue: float
+
+
+class RenderServer:
+    """Dynamic-batching neutral-path render server.
+
+    Args:
+      pipeline: an ``EammPipeline`` (any transfer_format; yuv420 +
+        overlap_segments recommended for production delivery).
+      max_batch: device batch size — every dispatch runs exactly this many
+        clips (short groups are padded by replication).
+      max_delay_ms: how long the worker waits to fill a batch after the
+        first request arrives.  Latency floor for a lone request.
+    """
+
+    def __init__(self, pipeline, max_batch: int = 4,
+                 max_delay_ms: float = 50.0):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self.pipeline = pipeline
+        self.max_batch = max_batch
+        self.max_delay = max_delay_ms / 1e3
+        self._q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self._stats = {"requests": 0, "dispatches": 0, "batched_requests": 0,
+                       "latency_sum": 0.0, "latency_max": 0.0}
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    # ---- client API ----------------------------------------------------
+
+    def submit(self, source_image: np.ndarray, waveform: np.ndarray,
+               pose: np.ndarray) -> Future:
+        """Enqueue one clip; resolves to uint8 [T, 256, 256, 3] frames
+        (or (y, u, v) planes when the pipeline delivers yuv420)."""
+        if self._stop.is_set():
+            raise RuntimeError("server stopped")
+        frames = self.pipeline.audio_to_windows(waveform).shape[0]
+        req = _Request(np.asarray(source_image, np.float32),
+                       np.asarray(waveform, np.float32),
+                       np.asarray(pose, np.float32),
+                       frames, Future(), time.monotonic())
+        with self._lock:
+            self._stats["requests"] += 1
+        self._q.put(req)
+        return req.future
+
+    def render(self, source_image, waveform, pose, timeout=None):
+        """Blocking convenience wrapper around ``submit``."""
+        return self.submit(source_image, waveform, pose).result(timeout)
+
+    def stats(self) -> dict:
+        with self._lock:
+            s = dict(self._stats)
+        done = max(1, s["batched_requests"])      # completed requests
+        s["mean_latency_ms"] = round(1e3 * s.pop("latency_sum") / done, 2)
+        s["latency_max_ms"] = round(1e3 * s.pop("latency_max"), 2)
+        s["mean_batch_occupancy"] = round(
+            s["batched_requests"] / max(1, s["dispatches"]), 2)
+        return s
+
+    def stop(self, timeout: float = 30.0):
+        """Drain-free stop: pending requests get RuntimeError."""
+        self._stop.set()
+        self._q.put(None)
+        self._worker.join(timeout)
+
+    # ---- worker ---------------------------------------------------------
+
+    def _take_group(self) -> list[_Request] | None:
+        first = self._q.get()
+        if first is None or self._stop.is_set():
+            return None
+        group = [first]
+        deadline = time.monotonic() + self.max_delay
+        while len(group) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            group.append(nxt)
+        return group
+
+    def _loop(self):
+        while not self._stop.is_set():
+            group = self._take_group()
+            if not group:
+                continue
+            try:
+                self._dispatch(group)
+            except Exception as e:   # resolve, never kill the worker
+                for r in group:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _dispatch(self, group: list[_Request]):
+        # fixed-size batch: pad by replicating request 0 so the jitted
+        # program compiles once per clip-length bucket
+        pad = self.max_batch - len(group)
+        reqs = group + [group[0]] * pad
+        sources = [r.source for r in reqs]
+        wavs = [r.waveform for r in reqs]
+        poses = [r.pose for r in reqs]
+        yuv = self.pipeline.options.transfer_format == "yuv420"
+        if yuv:
+            y, u, v = self.pipeline.render_batch_yuv420(sources, wavs, poses)
+        else:
+            frames = self.pipeline.render_batch_uint8(sources, wavs, poses)
+        now = time.monotonic()
+        with self._lock:
+            self._stats["dispatches"] += 1
+            self._stats["batched_requests"] += len(group)
+        for i, r in enumerate(group):
+            t = r.frames
+            result = (y[i, :t], u[i, :t], v[i, :t]) if yuv \
+                else frames[i, :t]
+            lat = now - r.t_enqueue
+            with self._lock:
+                self._stats["latency_sum"] += lat
+                self._stats["latency_max"] = max(
+                    self._stats["latency_max"], lat)
+            r.future.set_result(result)

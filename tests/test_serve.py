@@ -1,0 +1,92 @@
+"""RenderServer dynamic batching over the batched render program (CPU,
+random weights).  The reference has no serving component (ref:demo.py is
+one-clip-per-process); this is the production coalescing layer."""
+import threading
+
+import numpy as np
+import pytest
+
+from eamm_tpu.infer import EammPipeline, PipelineOptions
+from eamm_tpu.serve import RenderServer
+from tests.test_infer_pipeline import SMALL_CONFIG
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    return EammPipeline.from_random(
+        SMALL_CONFIG, options=PipelineOptions(frame_chunk=8, time_bucket=32))
+
+
+def _req(seed, seconds=1.0):
+    rng = np.random.RandomState(seed)
+    return (rng.rand(256, 256, 3).astype(np.float32),
+            (0.1 * rng.randn(int(16000 * seconds))).astype(np.float32),
+            rng.randn(1, 7).astype(np.float32))
+
+
+def test_concurrent_requests_are_coalesced(pipeline):
+    server = RenderServer(pipeline, max_batch=3, max_delay_ms=300)
+    try:
+        futures = [server.submit(*_req(i)) for i in range(3)]
+        results = [f.result(timeout=600) for f in futures]
+        for r in results:
+            assert r.shape[1:] == (256, 256, 3)
+            assert 20 <= r.shape[0] <= 30
+        s = server.stats()
+        assert s["requests"] == 3
+        # all three rode one device dispatch (they were enqueued well
+        # within the batching window)
+        assert s["dispatches"] == 1
+        assert s["mean_batch_occupancy"] == 3.0
+        assert s["mean_latency_ms"] > 0
+    finally:
+        server.stop()
+
+
+def test_result_matches_direct_batch_render(pipeline):
+    server = RenderServer(pipeline, max_batch=2, max_delay_ms=200)
+    try:
+        a, b = _req(10), _req(11, seconds=0.7)
+        fa, fb = server.submit(*a), server.submit(*b)
+        ra, rb = fa.result(600), fb.result(600)
+        direct = pipeline.render_batch_uint8(
+            [a[0], b[0]], [a[1], b[1]], [a[2], b[2]])
+        ta = pipeline.audio_to_windows(a[1]).shape[0]
+        tb = pipeline.audio_to_windows(b[1]).shape[0]
+        np.testing.assert_array_equal(ra, direct[0, :ta])
+        np.testing.assert_array_equal(rb, direct[1, :tb])
+        assert ra.shape[0] != rb.shape[0]   # per-request trimming
+    finally:
+        server.stop()
+
+
+def test_single_request_pads_to_fixed_batch(pipeline):
+    """A lone request still renders (padded by replication) and resolves."""
+    server = RenderServer(pipeline, max_batch=2, max_delay_ms=1)
+    try:
+        r = server.render(*_req(20), timeout=600)
+        assert r.shape[1:] == (256, 256, 3)
+        assert server.stats()["mean_batch_occupancy"] == 1.0
+    finally:
+        server.stop()
+
+
+def test_worker_survives_bad_request(pipeline):
+    server = RenderServer(pipeline, max_batch=1, max_delay_ms=1)
+    try:
+        bad_src = np.zeros((13, 13, 3), np.float32)   # wrong resolution
+        f = server.submit(bad_src, _req(30)[1], _req(30)[2])
+        with pytest.raises(Exception):
+            f.result(600)
+        # the worker thread is still alive and serves the next request
+        r = server.render(*_req(31), timeout=600)
+        assert r.shape[1:] == (256, 256, 3)
+    finally:
+        server.stop()
+
+
+def test_stop_rejects_new_submissions(pipeline):
+    server = RenderServer(pipeline, max_batch=1, max_delay_ms=1)
+    server.stop()
+    with pytest.raises(RuntimeError):
+        server.submit(*_req(40))
