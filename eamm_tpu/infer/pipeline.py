@@ -88,6 +88,7 @@ class EammPipeline:
         'kp_detector': ..., 'kp_detector_a': ..., 'audio_feature': ...,
         'emo_detector': ...}."""
         self.config = config
+        self._batch_in_sharding = None           # set by use_mesh()
         self.options = options or PipelineOptions()
         if self.options.pallas_warp is None:
             self.options = dataclasses.replace(
@@ -499,8 +500,23 @@ class EammPipeline:
         for i, w in enumerate(windows):
             win[i, :w.shape[0]] = w
             pos[i, :w.shape[0]] = self.prepare_pose(poses[i], w.shape[0])
-        src = jnp.asarray(np.asarray(source_images, np.float32))
-        return T, (src, jnp.asarray(win), jnp.asarray(pos))
+        src = np.asarray(source_images, np.float32)
+        if self._batch_in_sharding is not None:
+            put = lambda x: jax.device_put(x, self._batch_in_sharding)
+        else:
+            put = jnp.asarray
+        return T, (put(src), put(win), put(pos))
+
+    def use_mesh(self, mesh):
+        """Shard the batched render paths over a device mesh: identities
+        ride the 'data' axis, variables replicate, and XLA inserts the ICI
+        collectives.  Batch sizes should be multiples of the mesh size.
+        Returns self (chainable); sharded == unsharded is asserted by
+        tests/test_sharded_inference.py and test_serve.py."""
+        from eamm_tpu.parallel import batch_sharding, replicated
+        self._batch_in_sharding = batch_sharding(mesh)
+        self.vars = jax.device_put(self.vars, replicated(mesh))
+        return self
 
     def render_batch_uint8(self, source_images, waveforms, poses) -> np.ndarray:
         """Render several identities / clips at once (neutral path).

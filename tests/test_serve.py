@@ -90,3 +90,29 @@ def test_stop_rejects_new_submissions(pipeline):
     server.stop()
     with pytest.raises(RuntimeError):
         server.submit(*_req(40))
+
+
+def test_server_over_device_mesh(pipeline):
+    """RenderServer + pipeline.use_mesh: coalesced dispatches shard the
+    identity axis over the mesh and match the unsharded server results."""
+    from eamm_tpu.parallel import host_cpu_mesh
+    from eamm_tpu.infer import EammPipeline, PipelineOptions
+
+    reqs = [_req(50), _req(51)]
+    plain = RenderServer(pipeline, max_batch=2, max_delay_ms=300)
+    try:
+        expected = [f.result(600) for f in [plain.submit(*r) for r in reqs]]
+    finally:
+        plain.stop()
+
+    sharded_pipe = EammPipeline(
+        pipeline.config, pipeline.vars,
+        options=PipelineOptions(frame_chunk=8, time_bucket=32)
+    ).use_mesh(host_cpu_mesh(2))
+    server = RenderServer(sharded_pipe, max_batch=2, max_delay_ms=300)
+    try:
+        got = [f.result(600) for f in [server.submit(*r) for r in reqs]]
+        for g, e in zip(got, expected):
+            assert np.abs(g.astype(int) - e.astype(int)).max() <= 1
+    finally:
+        server.stop()
