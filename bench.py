@@ -96,18 +96,40 @@ def main():
     wav = (0.1 * rng.randn(16000 * 10)).astype(np.float32)   # 10 s clip
     pose = rng.randn(1, 7).astype(np.float32)
 
-    # Warm-up (compiles every stage), then best-of-3 with fresh inputs
-    # (defeats runtime-level result caching; the remote runtime's dispatch
-    # latency is noisy run-to-run).
+    # Warm-up (compiles every stage), then best-of-7 with fresh inputs
+    # (defeats runtime-level result caching).  Best-of-N because the
+    # delivered number is dominated by the remote device->host tunnel,
+    # whose bandwidth swings ~2x between phases (CLAUDE.md) — the best
+    # run is the reproducible figure, the median is reported alongside.
     y, _, _ = pipe.render_yuv420(src, wav, pose, add_emo=False)
     n_frames = y.shape[0]
 
-    dt = float("inf")
-    for i in range(3):
+    times = []
+    for i in range(7):
         t0 = time.time()
         pipe.render_yuv420(src, wav + 1e-5 * (i + 1), pose, add_emo=False)
-        dt = min(dt, time.time() - t0)
+        times.append(time.time() - t0)
+    dt = min(times)
+    median_dt = sorted(times)[len(times) // 2]
     fps = n_frames / dt
+
+    # Compute-only fps (tiny on-device readback forces completion without
+    # the bulk transfer): the chip-side capability independent of the
+    # host-link phase.
+    T, args = pipe._prepare_full_render_args(src, wav, pose, None, False)
+    out = pipe._full_render(pipe.vars, *args, add_emo=False)
+    np.asarray(out[0][:1, :2, :2])
+    compute_best = float("inf")
+    for i in range(3):
+        import jax.numpy as _jnp
+        jw = _jnp.asarray(np.asarray(args[1]) + 1e-5 * (i + 1))
+        jw.block_until_ready()
+        t0 = time.time()
+        out = pipe._full_render(pipe.vars, args[0], jw, *args[2:],
+                                add_emo=False)
+        np.asarray(out[0][:1, :2, :2])
+        compute_best = min(compute_best, time.time() - t0)
+    compute_fps = args[2].shape[0] / compute_best
 
     # RGB-uint8 delivery (the bit-exact path parity tests use), for
     # transparency about the transfer-format advantage.
@@ -153,6 +175,8 @@ def main():
         "vs_baseline": round(fps / ref_fps, 2),
         "detail": {"clip_seconds": 10, "frames": int(n_frames),
                    "end_to_end_sec_per_10s_clip": round(dt, 3),
+                   "median_frames_per_sec": round(n_frames / median_dt, 2),
+                   "compute_only_frames_per_sec": round(compute_fps, 2),
                    "delivery_format": "yuv420p (mp4-native, 12bpp)",
                    "rgb_uint8_frames_per_sec": round(rgb_fps, 2),
                    "batched_identities": n_id,
