@@ -264,8 +264,15 @@ class EammPipeline:
 
         def render_one_chunk(kp_chunk):
             val, jac = kp_chunk
-            srcF = jnp.broadcast_to(src, (F,) + src.shape[1:])
-            featF = jnp.broadcast_to(feats, (F,) + feats.shape[1:])
+            if o.pallas_warp:
+                # shared-source decode: the 1-batch source/features pass
+                # through unexpanded — dense motion downsamples the source
+                # once and the Pallas warp reads the single feature block,
+                # so no [F, 64, 64, 256] broadcast ever hits HBM
+                srcF, featF = src, feats
+            else:
+                srcF = jnp.broadcast_to(src, (F,) + src.shape[1:])
+                featF = jnp.broadcast_to(feats, (F,) + feats.shape[1:])
             kpsF = {k: jnp.broadcast_to(v[None], (F,) + v.shape)
                     for k, v in kp_s.items()}
             out = gen.apply(gvars, srcF, featF,
@@ -404,13 +411,20 @@ class EammPipeline:
 
         def render_chunk(kp_chunk):
             val, jac = kp_chunk                           # [N,F,...]
-            srcF = jnp.repeat(source_images, F, axis=0)
-            featF = jnp.repeat(feats, F, axis=0)
+            if o.pallas_warp:
+                # shared-source decode: source b//F serves frames of
+                # identity b//F directly (kernel-side indexing), no
+                # [N*F, 64, 64, 256] feature repeat in HBM
+                srcF, featF = source_images, feats
+            else:
+                srcF = jnp.repeat(source_images, F, axis=0)
+                featF = jnp.repeat(feats, F, axis=0)
             kpsF = {k: jnp.repeat(val2, F, axis=0) for k, val2 in kp_s.items()}
             out = gen.apply(gvars, srcF, featF,
                             {"value": val.reshape(N * F, 10, 2),
                              "jacobian": jac.reshape(N * F, 10, 2, 2)},
-                            kpsF, method=gen.decode, want_aux=False)
+                            kpsF, method=gen.decode, want_aux=False,
+                            shared_source=o.pallas_warp)
             pred = out["prediction"].astype(jnp.float32).reshape(
                 N, F, 256, 256, 3)
             if yuv:

@@ -32,12 +32,21 @@ class DenseMotionNetwork(nn.Module):
     def __call__(self, source_image: jnp.ndarray, kp_driving: dict,
                  kp_source: dict, train: bool = False,
                  shared_source: bool = False) -> dict:
-        """shared_source is accepted for interface parity with the
-        generator (which routes its bottleneck warp through the Pallas
-        twolevel kernel when set); the narrow-channel warps here always
-        use the gather-free twolevel dispatch inside grid_sample."""
+        """shared_source=True additionally allows a 1-batch
+        ``source_image`` with a B-batch keypoint set (the batched-clip
+        inference case): the 256^2 source is downsampled ONCE and only the
+        64^2 result broadcasts per frame, instead of the caller
+        materializing B copies of the full-resolution image.  The
+        narrow-channel warps always use the gather-free twolevel dispatch
+        inside grid_sample."""
         src = antialias_downsample(source_image, self.scale_factor)
-        B, h, w, C = src.shape
+        B = kp_driving["value"].shape[0]
+        _, h, w, C = src.shape
+        if src.shape[0] != B:
+            if not shared_source or B % src.shape[0]:
+                raise ValueError("source batch must match (or, with "
+                                 "shared_source, divide) the keypoint batch")
+            src = jnp.repeat(src, B // src.shape[0], axis=0)
         K = self.num_kp
 
         # Heatmap representation: gaussian(driving) - gaussian(source), plus a

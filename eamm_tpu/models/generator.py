@@ -79,12 +79,23 @@ class OcclusionAwareGenerator(nn.Module):
         consumed by training visualisation, and the 256^2 warp is pure
         overhead in the inference hot path.
 
-        shared_source=True routes the warps through the Pallas VMEM-resident
-        kernel (valid when all batch elements share one source image, i.e.
-        batched clip rendering).
+        shared_source=True routes the bottleneck warp through the Pallas
+        VMEM-resident kernel (valid when all batch elements share one
+        source image, i.e. batched clip rendering) and additionally
+        accepts 1-batch ``source_image`` / ``source_features`` with a
+        B-batch keypoint set — the kernel reads the single shared feature
+        block directly, so the caller never materializes the per-frame
+        broadcast of the encoded source volume.
         """
         output = {}
         out = source_features
+        B = kp_driving["value"].shape[0]
+        if out.shape[0] != B and not shared_source:
+            raise ValueError("source_features batch must match keypoints "
+                             "unless shared_source=True")
+        if shared_source and B % out.shape[0]:
+            raise ValueError("shared_source needs the feature batch to "
+                             "divide the keypoint batch")
         if self.dense_motion_network is not None:
             dense_motion = self.dense_motion_network(
                 source_image, kp_driving=kp_driving, kp_source=kp_source,
@@ -99,7 +110,9 @@ class OcclusionAwareGenerator(nn.Module):
             if (shared_source and out.shape[-1] % 128 == 0
                     and out.dtype == jnp.bfloat16):
                 # bottleneck warp: gather-free VMEM two-level kernel, bf16
-                # compute only (25.5->11.3 ms at [64,64,64,256] on v5e).
+                # compute only (25.5->11.3 ms at [64,64,64,256] on v5e);
+                # grid b reads source b // (B//Bi), so each shared source
+                # serves a contiguous run of frames with no HBM repeat.
                 # f32 stays on the exact gather path: the kernel's
                 # f32-exact mode needs multi-pass MXU dots and measures
                 # SLOWER than the gather (39.5 vs 30 ms), and its native
@@ -109,6 +122,8 @@ class OcclusionAwareGenerator(nn.Module):
                     deformation = resize_bilinear(deformation, out.shape[1:3])
                 out = grid_sample_twolevel_pallas(out, deformation)
             else:
+                if out.shape[0] != B:
+                    out = jnp.repeat(out, B // out.shape[0], axis=0)
                 out = _deform(out, deformation)
             if occlusion_map is not None:
                 if out.shape[1:3] != occlusion_map.shape[1:3]:

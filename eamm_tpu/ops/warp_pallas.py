@@ -148,13 +148,22 @@ def grid_sample_twolevel_pallas(image: jnp.ndarray, grid: jnp.ndarray,
     instead.  ref:modules/generator.py:57 (the per-frame deform of the
     encoded source feature).
 
-    image: [B, H, W, C]; grid: [B, Ho, Wo, 2].  Returns [B, Ho, Wo, C].
+    image: [Bi, H, W, C] where Bi divides the grid batch B (shared
+    sources: grid b reads image b // (B//Bi), i.e. each source serves a
+    contiguous run of grids — one identity's frames in batched clip
+    inference.  Bi=1 is the single-clip case).  The kernel indexes the
+    shared block directly instead of requiring the caller to materialize
+    a [B, H, W, C] repeat in HBM (4.3 GB per chunk at the batched
+    production shape).
+    grid: [B, Ho, Wo, 2].  Returns [B, Ho, Wo, C].
     C must be a multiple of 128 lanes for the in-kernel column slicing.
     """
-    B, H, W, C = image.shape
-    _, Ho, Wo, _ = grid.shape
+    Bi, H, W, C = image.shape
+    B, Ho, Wo, _ = grid.shape
     if C % 128:
         raise ValueError(f"C={C} must be a multiple of 128")
+    if B % Bi:
+        raise ValueError(f"image batch {Bi} must divide grid batch {B}")
     P = Ho * Wo
     from eamm_tpu.ops.warp import _unnormalize
     g32 = grid.astype(jnp.float32)
@@ -171,6 +180,8 @@ def grid_sample_twolevel_pallas(image: jnp.ndarray, grid: jnp.ndarray,
                  else jax.lax.Precision.DEFAULT)
     kernel = functools.partial(_twolevel_kernel, H=H, W=W, C=C,
                                precision=precision)
+    group = B // Bi
+    src_ix = lambda b, i: (b // group, 0, 0)
     out = pl.pallas_call(
         kernel,
         grid=(B, n_tiles),
@@ -179,12 +190,12 @@ def grid_sample_twolevel_pallas(image: jnp.ndarray, grid: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_tiles, tile), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W * C), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, H, W * C), src_ix,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, P + pad, C), image.dtype),
     )(fy.reshape(B, n_tiles, tile), fx.reshape(B, n_tiles, tile),
-      image.reshape(B, H, W * C))
+      image.reshape(Bi, H, W * C))
     return out[:, :P].reshape(B, Ho, Wo, C)

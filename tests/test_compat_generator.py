@@ -158,3 +158,43 @@ def test_generator_full_parity():
     err = np.abs(np.asarray(out["prediction"]) - ref_nhwc)
     assert err.max() < 1e-3, err.max()
     assert err.mean() < 1e-4, err.mean()
+
+
+def test_decode_shared_source_one_batch_matches_broadcast():
+    """decode(shared_source=True) with 1-batch source/features must equal
+    the broadcasted-batch decode (the inference pipeline's no-broadcast
+    path; on CPU/f32 this exercises the dense-motion 1-batch handling and
+    the generator's broadcast fallback branch)."""
+    import jax
+    import jax.numpy as jnp
+    from eamm_tpu.models.generator import OcclusionAwareGenerator
+
+    gen = OcclusionAwareGenerator(
+        block_expansion=32, max_features=128, num_down_blocks=2,
+        num_bottleneck_blocks=1,
+        dense_motion_params=dict(block_expansion=16, max_features=64,
+                                 num_blocks=3, scale_factor=0.25))
+    rng = np.random.RandomState(0)
+    src = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    F = 3
+    kp_d = {"value": jnp.asarray(rng.uniform(-1, 1, (F, 10, 2)), jnp.float32),
+            "jacobian": jnp.asarray(
+                np.tile(np.eye(2), (F, 10, 1, 1)), jnp.float32)}
+    kp_s1 = {"value": jnp.asarray(rng.uniform(-1, 1, (1, 10, 2)), jnp.float32),
+             "jacobian": jnp.asarray(
+                 np.tile(np.eye(2), (1, 10, 1, 1)), jnp.float32)}
+    variables = gen.init(jax.random.PRNGKey(0), src, 
+                         {k: v[:1] for k, v in kp_d.items()},
+                         kp_s1)
+    feats = gen.apply(variables, src, method=gen.encode_source)
+
+    kp_sF = {k: jnp.broadcast_to(v, (F,) + v.shape[1:])
+             for k, v in kp_s1.items()}
+    shared = gen.apply(variables, src, feats, kp_d, kp_sF,
+                       method=gen.decode, want_aux=False, shared_source=True)
+    srcF = jnp.broadcast_to(src, (F,) + src.shape[1:])
+    featF = jnp.broadcast_to(feats, (F,) + feats.shape[1:])
+    full = gen.apply(variables, srcF, featF, kp_d, kp_sF,
+                     method=gen.decode, want_aux=False)
+    np.testing.assert_allclose(np.asarray(shared["prediction"]),
+                               np.asarray(full["prediction"]), atol=1e-6)

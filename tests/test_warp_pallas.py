@@ -74,3 +74,25 @@ def test_twolevel_pallas_rejects_unaligned_channels():
     with pytest.raises(ValueError):
         warp_pallas.grid_sample_twolevel_pallas(
             jnp.zeros((1, 8, 8, 64)), jnp.zeros((1, 4, 4, 2)))
+
+
+def test_twolevel_pallas_shared_source():
+    """image batch 1 + B grids: every grid samples the single shared
+    source (the batched-clip inference case, no broadcast in HBM)."""
+    from eamm_tpu.ops import warp_pallas
+    from jax.experimental.pallas import tpu as pltpu
+    rng = np.random.RandomState(5)
+    src = jnp.asarray(rng.randn(1, 8, 8, 128), jnp.float32)
+    grids = jnp.asarray(rng.uniform(-1.1, 1.1, (4, 8, 8, 2)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        ours = warp_pallas.grid_sample_twolevel_pallas(src, grids, tile=32,
+                                                       exact=True)
+    ref = grid_sample(jnp.broadcast_to(src, (4,) + src.shape[1:]), grids)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+def test_twolevel_pallas_rejects_batch_mismatch():
+    from eamm_tpu.ops import warp_pallas
+    with pytest.raises(ValueError):
+        warp_pallas.grid_sample_twolevel_pallas(
+            jnp.zeros((2, 8, 8, 128)), jnp.zeros((4, 4, 4, 2)))
