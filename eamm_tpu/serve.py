@@ -40,10 +40,16 @@ class _Request:
     frames: int                 # true clip length for trimming
     future: Future
     t_enqueue: float
+    transformed: np.ndarray | None = None   # emotion frames (add_emo)
+
+    @property
+    def emotional(self) -> bool:
+        return self.transformed is not None
 
 
 class RenderServer:
-    """Dynamic-batching neutral-path render server.
+    """Dynamic-batching render server (neutral requests coalesce;
+    emotional requests run as singleton whole-clip dispatches).
 
     Args:
       pipeline: an ``EammPipeline`` (any transfer_format; yuv420 +
@@ -62,6 +68,7 @@ class RenderServer:
         self.max_batch = max_batch
         self.max_delay = max_delay_ms / 1e3
         self._q: queue.Queue = queue.Queue()
+        self._stashed: _Request | None = None
         self._stop = threading.Event()
         self._lock = threading.Lock()
         self._stats = {"requests": 0, "dispatches": 0, "batched_requests": 0,
@@ -72,24 +79,34 @@ class RenderServer:
     # ---- client API ----------------------------------------------------
 
     def submit(self, source_image: np.ndarray, waveform: np.ndarray,
-               pose: np.ndarray) -> Future:
+               pose: np.ndarray,
+               transformed_video: np.ndarray | None = None) -> Future:
         """Enqueue one clip; resolves to uint8 [T, 256, 256, 3] frames
-        (or (y, u, v) planes when the pipeline delivers yuv420)."""
+        (or (y, u, v) planes when the pipeline delivers yuv420).
+
+        ``transformed_video`` (mouth-masked aligned emotion frames) makes
+        this an emotional-path request: those render as singleton
+        whole-clip dispatches (the emotion trunk is per-request state the
+        batch program does not take), while neutral requests coalesce."""
         if self._stop.is_set():
             raise RuntimeError("server stopped")
         frames = self.pipeline.audio_to_windows(waveform).shape[0]
         req = _Request(np.asarray(source_image, np.float32),
                        np.asarray(waveform, np.float32),
                        np.asarray(pose, np.float32),
-                       frames, Future(), time.monotonic())
+                       frames, Future(), time.monotonic(),
+                       None if transformed_video is None
+                       else np.asarray(transformed_video, np.float32))
         with self._lock:
             self._stats["requests"] += 1
         self._q.put(req)
         return req.future
 
-    def render(self, source_image, waveform, pose, timeout=None):
+    def render(self, source_image, waveform, pose,
+               transformed_video=None, timeout=None):
         """Blocking convenience wrapper around ``submit``."""
-        return self.submit(source_image, waveform, pose).result(timeout)
+        return self.submit(source_image, waveform, pose,
+                           transformed_video).result(timeout)
 
     def stats(self) -> dict:
         with self._lock:
@@ -110,9 +127,12 @@ class RenderServer:
     # ---- worker ---------------------------------------------------------
 
     def _take_group(self) -> list[_Request] | None:
-        first = self._q.get()
+        first = self._stashed or self._q.get()
+        self._stashed = None
         if first is None or self._stop.is_set():
             return None
+        if first.emotional:
+            return [first]                  # singleton dispatch
         group = [first]
         deadline = time.monotonic() + self.max_delay
         while len(group) < self.max_batch:
@@ -124,6 +144,9 @@ class RenderServer:
             except queue.Empty:
                 break
             if nxt is None:
+                break
+            if nxt.emotional:
+                self._stashed = nxt         # different kind: next round
                 break
             group.append(nxt)
         return group
@@ -141,6 +164,21 @@ class RenderServer:
                         r.future.set_exception(e)
 
     def _dispatch(self, group: list[_Request]):
+        yuv = self.pipeline.options.transfer_format == "yuv420"
+        if group[0].emotional:
+            r = group[0]
+            if yuv:
+                y, u, v = self.pipeline.render_yuv420(
+                    r.source, r.waveform, r.pose,
+                    transformed_video=r.transformed, add_emo=True)
+                result = (y[:r.frames], u[:r.frames], v[:r.frames])
+            else:
+                frames = self.pipeline.render_uint8(
+                    r.source, r.waveform, r.pose,
+                    transformed_video=r.transformed, add_emo=True)
+                result = frames[:r.frames]
+            self._finish([r], [result])
+            return
         # fixed-size batch: pad by replicating request 0 so the jitted
         # program compiles once per clip-length bucket
         pad = self.max_batch - len(group)
@@ -148,19 +186,21 @@ class RenderServer:
         sources = [r.source for r in reqs]
         wavs = [r.waveform for r in reqs]
         poses = [r.pose for r in reqs]
-        yuv = self.pipeline.options.transfer_format == "yuv420"
         if yuv:
             y, u, v = self.pipeline.render_batch_yuv420(sources, wavs, poses)
+            results = [(y[i, :r.frames], u[i, :r.frames], v[i, :r.frames])
+                       for i, r in enumerate(group)]
         else:
             frames = self.pipeline.render_batch_uint8(sources, wavs, poses)
+            results = [frames[i, :r.frames] for i, r in enumerate(group)]
+        self._finish(group, results)
+
+    def _finish(self, group: list[_Request], results):
         now = time.monotonic()
         with self._lock:
             self._stats["dispatches"] += 1
             self._stats["batched_requests"] += len(group)
-        for i, r in enumerate(group):
-            t = r.frames
-            result = (y[i, :t], u[i, :t], v[i, :t]) if yuv \
-                else frames[i, :t]
+        for r, result in zip(group, results):
             lat = now - r.t_enqueue
             with self._lock:
                 self._stats["latency_sum"] += lat

@@ -116,3 +116,24 @@ def test_server_over_device_mesh(pipeline):
             assert np.abs(g.astype(int) - e.astype(int)).max() <= 1
     finally:
         server.stop()
+
+
+def test_emotional_requests_interleave_with_neutral(pipeline):
+    """Emotional requests dispatch as singletons through the whole-clip
+    program; neutral requests around them still coalesce and everyone's
+    future resolves."""
+    rng = np.random.RandomState(60)
+    emo_frames = rng.rand(4, 256, 256, 3).astype(np.float32)
+    server = RenderServer(pipeline, max_batch=2, max_delay_ms=200)
+    try:
+        f1 = server.submit(*_req(61))
+        fe = server.submit(*_req(62), transformed_video=emo_frames)
+        f2 = server.submit(*_req(63))
+        r1, re, r2 = (f.result(900) for f in (f1, fe, f2))
+        for r in (r1, re, r2):
+            assert r.shape[1:] == (256, 256, 3)
+        s = server.stats()
+        assert s["requests"] == 3 and s["batched_requests"] == 3
+        assert 2 <= s["dispatches"] <= 3   # emotional one never batched
+    finally:
+        server.stop()
