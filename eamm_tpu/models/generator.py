@@ -130,6 +130,9 @@ class OcclusionAwareGenerator(nn.Module):
                     occlusion_map = resize_bilinear(occlusion_map, out.shape[1:3])
                 out = out * occlusion_map
             if want_aux:
+                if source_image.shape[0] != B:
+                    source_image = jnp.repeat(
+                        source_image, B // source_image.shape[0], axis=0)
                 output["deformed"] = _deform(source_image, deformation)
 
         for block in self.bottleneck:

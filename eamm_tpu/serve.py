@@ -90,7 +90,9 @@ class RenderServer:
         batch program does not take), while neutral requests coalesce."""
         if self._stop.is_set():
             raise RuntimeError("server stopped")
-        frames = self.pipeline.audio_to_windows(waveform).shape[0]
+        from eamm_tpu.ops.mfcc import num_windows_for_samples
+        frames = num_windows_for_samples(len(waveform))  # pure host math —
+        # submit never touches the device (the worker computes the windows)
         req = _Request(np.asarray(source_image, np.float32),
                        np.asarray(waveform, np.float32),
                        np.asarray(pose, np.float32),
@@ -123,6 +125,20 @@ class RenderServer:
         self._stop.set()
         self._q.put(None)
         self._worker.join(timeout)
+        # resolve everything still queued (incl. the submit-vs-stop race
+        # and the worker's stashed request) so no caller blocks forever
+        leftovers = [self._stashed] if self._stashed else []
+        self._stashed = None
+        while True:
+            try:
+                r = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if r is not None:
+                leftovers.append(r)
+        for r in leftovers:
+            if not r.future.done():
+                r.future.set_exception(RuntimeError("server stopped"))
 
     # ---- worker ---------------------------------------------------------
 
@@ -206,4 +222,6 @@ class RenderServer:
                 self._stats["latency_sum"] += lat
                 self._stats["latency_max"] = max(
                     self._stats["latency_max"], lat)
-            r.future.set_result(result)
+            # a client-cancelled future must not poison its batchmates
+            if r.future.set_running_or_notify_cancel():
+                r.future.set_result(result)

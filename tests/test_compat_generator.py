@@ -198,3 +198,34 @@ def test_decode_shared_source_one_batch_matches_broadcast():
                      method=gen.decode, want_aux=False)
     np.testing.assert_allclose(np.asarray(shared["prediction"]),
                                np.asarray(full["prediction"]), atol=1e-6)
+
+
+def test_decode_shared_source_want_aux():
+    """shared_source + want_aux: the full-resolution aux 'deformed' warp
+    must repeat the 1-batch source to the keypoint batch."""
+    import jax
+    import jax.numpy as jnp
+    from eamm_tpu.models.generator import OcclusionAwareGenerator
+
+    gen = OcclusionAwareGenerator(
+        block_expansion=32, max_features=128, num_down_blocks=2,
+        num_bottleneck_blocks=1,
+        dense_motion_params=dict(block_expansion=16, max_features=64,
+                                 num_blocks=3, scale_factor=0.25))
+    rng = np.random.RandomState(1)
+    src = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    F = 2
+    kp_d = {"value": jnp.asarray(rng.uniform(-1, 1, (F, 10, 2)), jnp.float32),
+            "jacobian": jnp.asarray(
+                np.tile(np.eye(2), (F, 10, 1, 1)), jnp.float32)}
+    kp_s = {"value": jnp.asarray(rng.uniform(-1, 1, (1, 10, 2)), jnp.float32),
+            "jacobian": jnp.asarray(
+                np.tile(np.eye(2), (1, 10, 1, 1)), jnp.float32)}
+    variables = gen.init(jax.random.PRNGKey(0), src,
+                         {k: v[:1] for k, v in kp_d.items()}, kp_s)
+    feats = gen.apply(variables, src, method=gen.encode_source)
+    kp_sF = {k: jnp.broadcast_to(v, (F,) + v.shape[1:]) for k, v in kp_s.items()}
+    out = gen.apply(variables, src, feats, kp_d, kp_sF,
+                    method=gen.decode, want_aux=True, shared_source=True)
+    assert out["deformed"].shape == (F, 64, 64, 3)
+    assert out["prediction"].shape[0] == F

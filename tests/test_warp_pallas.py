@@ -96,3 +96,22 @@ def test_twolevel_pallas_rejects_batch_mismatch():
     with pytest.raises(ValueError):
         warp_pallas.grid_sample_twolevel_pallas(
             jnp.zeros((2, 8, 8, 128)), jnp.zeros((4, 4, 4, 2)))
+
+
+def test_twolevel_pallas_multi_identity_grouping():
+    """Bi=2 sources with B=4 grids: grid b must read source b // 2 (the
+    batched-clip production indexing), verified against the explicit
+    repeat."""
+    from eamm_tpu.ops import warp_pallas
+    from jax.experimental.pallas import tpu as pltpu
+    rng = np.random.RandomState(6)
+    src = jnp.asarray(rng.randn(2, 8, 8, 128), jnp.float32)
+    grids = jnp.asarray(rng.uniform(-1.1, 1.1, (4, 8, 8, 2)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        ours = warp_pallas.grid_sample_twolevel_pallas(src, grids, tile=32,
+                                                       exact=True)
+    ref = grid_sample(jnp.repeat(src, 2, axis=0), grids)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+    # the sources genuinely differ, so a wrong index map cannot pass
+    swapped = grid_sample(jnp.repeat(src[::-1], 2, axis=0), grids)
+    assert np.abs(np.asarray(ours) - np.asarray(swapped)).max() > 1e-3
