@@ -120,6 +120,12 @@ class RenderServer:
             s["batched_requests"] / max(1, s["dispatches"]), 2)
         return s
 
+    def reset_stats(self):
+        """Zero the counters (e.g. after warm-up compilation)."""
+        with self._lock:
+            for k in self._stats:
+                self._stats[k] = type(self._stats[k])()
+
     def stop(self, timeout: float = 30.0):
         """Drain-free stop: pending requests get RuntimeError."""
         self._stop.set()
