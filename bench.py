@@ -59,12 +59,8 @@ def reference_fps() -> float:
 
 
 def main():
-    import jax
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               os.path.expanduser("~/.cache/eamm_jax_cache"))
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from eamm_tpu.utils import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
 
     from eamm_tpu.infer import EammPipeline, PipelineOptions
 

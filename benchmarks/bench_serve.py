@@ -19,11 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    import jax
-    cache = os.path.expanduser("~/.cache/eamm_jax_cache")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from eamm_tpu.utils import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     import jax.numpy as jnp
     from bench import FULL_CONFIG
     from eamm_tpu.infer import EammPipeline, PipelineOptions
@@ -39,18 +36,18 @@ def main():
     server = RenderServer(pipe, max_batch=max_batch, max_delay_ms=100)
     rng = np.random.RandomState(0)
 
-    def req(i):
+    def req():
         return (rng.rand(256, 256, 3).astype(np.float32),
                 (0.1 * rng.randn(16000 * 10)).astype(np.float32),
                 rng.randn(1, 7).astype(np.float32))
 
     # warm-up: one full batch compiles the length bucket
-    warm = [server.submit(*req(i)) for i in range(max_batch)]
+    warm = [server.submit(*req()) for _ in range(max_batch)]
     for f in warm:
         f.result(1800)
     server.reset_stats()
 
-    reqs = [req(100 + i) for i in range(n_requests)]
+    reqs = [req() for _ in range(n_requests)]
     t0 = time.time()
     futures = [server.submit(*r) for r in reqs]
     results = [f.result(1800) for f in futures]

@@ -142,11 +142,8 @@ def bench_part2(steps=6, batch_size=16):
 
 
 def main():
-    import jax
-    cache = os.path.expanduser("~/.cache/eamm_jax_cache")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from eamm_tpu.utils import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     stages = os.environ.get("EAMM_BENCH_STAGES",
                             "part1,fine_tune,part2").split(",")
     if "part1" in stages:

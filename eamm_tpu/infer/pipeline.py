@@ -79,6 +79,11 @@ def _bucket(n: int, b: int) -> int:
     return max(b, int(math.ceil(n / b)) * b)
 
 
+# one shared jit wrapper: a fresh jax.jit(...) per call would carry a
+# fresh trace cache and re-trace on every invocation
+_jit_audio_windows = jax.jit(audio_to_mfcc_windows)
+
+
 class EammPipeline:
     """Holds models + variables and the jitted stage functions."""
 
@@ -613,7 +618,7 @@ class EammPipeline:
     # ------------------------------------------------------------ driver
 
     def audio_to_windows(self, waveform: np.ndarray) -> np.ndarray:
-        return np.asarray(jax.jit(audio_to_mfcc_windows)(jnp.asarray(waveform)))
+        return np.asarray(_jit_audio_windows(jnp.asarray(waveform)))
 
     def prepare_pose(self, all_pose: np.ndarray, T: int) -> np.ndarray:
         """Host-side pose tiling / smoothing (ref:demo.py:297-341)."""

@@ -1,1 +1,2 @@
-from eamm_tpu.utils.profiling import StepTimer, trace, device_memory_stats
+from eamm_tpu.utils.profiling import (StepTimer, trace, device_memory_stats,
+                                      enable_persistent_compilation_cache)

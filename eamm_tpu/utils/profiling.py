@@ -75,3 +75,16 @@ def device_memory_stats() -> list[dict]:
                     "bytes_in_use": stats.get("bytes_in_use"),
                     "bytes_limit": stats.get("bytes_limit")})
     return out
+
+
+def enable_persistent_compilation_cache(path: str | None = None) -> None:
+    """Point jax at the on-disk compilation cache the benches share
+    (first TPU compiles take minutes through the remote tunnel)."""
+    import os
+    import jax
+    cache = path or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/eamm_jax_cache"))
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
