@@ -54,6 +54,12 @@ def main(argv=None):
     opt = build_parser().parse_args(argv)
     from eamm_tpu.config import load_config
     from eamm_tpu.train.loop import train
+    from eamm_tpu.utils import enable_persistent_compilation_cache
+
+    # Fresh TPU compiles of the big training programs take 10-25 min through
+    # the remote-compile tunnel; share the benches' on-disk cache so a
+    # restarted/preempted run (or a re-run after a crash) resumes in seconds.
+    enable_persistent_compilation_cache()
 
     config = load_config(opt.config)
     if opt.compute_dtype:

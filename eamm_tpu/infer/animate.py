@@ -48,10 +48,12 @@ def _make_render(models, variables):
 
 
 def reconstruction(models, variables, dataset, num_videos: int = 10) -> dict:
-    """Self-reconstruction L1 over ``num_videos`` clips
-    (FOMM evaluation protocol)."""
+    """Self-reconstruction over ``num_videos`` clips (FOMM evaluation
+    protocol): per-frame L1 plus PSNR / SSIM / AKD (keypoints re-detected on
+    the reconstruction and compared to the ground-truth frames' keypoints)."""
+    from eamm_tpu.utils.metrics import clip_metrics
     kp_fn, render_fn = _make_render(models, variables)
-    losses = []
+    per_clip = []
     for i in range(min(num_videos, len(dataset))):
         sample = dataset[i]
         driving = jnp.asarray(sample["driving"])            # [T,H,W,3]
@@ -60,8 +62,16 @@ def reconstruction(models, variables, dataset, num_videos: int = 10) -> dict:
         kp_s = kp_fn(source)
         pred = render_fn(source, kp_d["value"], kp_d["jacobian"],
                          kp_s["value"], kp_s["jacobian"])
-        losses.append(float(jnp.mean(jnp.abs(pred - driving))))
-    return {"reconstruction_l1": float(np.mean(losses)), "videos": len(losses)}
+        kp_pred = kp_fn(pred)
+        per_clip.append(clip_metrics(pred, driving,
+                                     kp_pred=kp_pred["value"],
+                                     kp_target=kp_d["value"]))
+    out = {"reconstruction_" + k: float(np.mean([m[k] for m in per_clip]))
+           for k in (per_clip[0] if per_clip else {})}
+    out["videos"] = len(per_clip)
+    if "reconstruction_l1" not in out:
+        out["reconstruction_l1"] = float("nan")
+    return out
 
 
 def animate(models, variables, paired_dataset, relative: bool = True,

@@ -227,34 +227,85 @@ def train(config: dict, mode: str, log_dir: str, checkpoint: str | None = None,
                         "train_part2": 1000}[mode]   # ref:train.py:107,243,377
 
     num_epochs = tp.get("num_epochs", 300)
+    # Reading a metric back to the host every step serializes the pipeline:
+    # each readback pays the full dispatch round trip, which on a remote
+    # chip costs more than the step's compute (measured: part1 bf16 is
+    # 23 ms/step pipelined vs 84 ms/step when the loss is read every step).
+    # Buffer the device-scalar metrics and flush every `log_every` steps.
+    log_every = max(1, int(tp.get("log_every", 10)))
+    start_step = int(state.step)
     total = 0
-    with mesh:
-        state = jax.device_put(state, replicated(mesh))
-        for epoch in range(num_epochs):
-            for batch_host in loader:
-                batch = shard_batch(batch_host, mesh)
-                state, metrics = step_fn(state, batch)
-                logger.log_iter(metrics)
-                logger.write_scalars(int(state.step), metrics)
-                total += 1
-                if total % save_every_steps == 0 and epoch % checkpoint_freq == 0:
-                    ckpt.save(int(state.step), state)
-                    save_visualization(state, batch_host, int(state.step))
-                if max_steps is not None and total >= max_steps:
-                    logger.log_epoch(epoch)
-                    ckpt.save(int(state.step), state)
-                    save_visualization(state, batch_host, int(state.step))
-                    return state
-            logger.log_epoch(epoch)
-            if eval_loader is not None:
-                eval_metrics = []
-                for batch_host in eval_loader:
+    pending: list[tuple[int, dict]] = []
+
+    def flush_metrics():
+        for step_num, m in pending:
+            m = {k: float(v) for k, v in m.items()}
+            logger.log_iter(m)
+            logger.write_scalars(step_num, m)
+        pending.clear()
+
+    # Preemption-signal emergency checkpoint: the reference has an
+    # `emergent` save path that nothing ever calls (ref:logger.py:44-50,
+    # SURVEY.md §5 failure detection); here SIGTERM/SIGINT request a final
+    # checkpoint + clean return at the next step boundary.
+    import signal
+    preempted = {"sig": None}
+    prev_handlers = {}
+
+    def _on_signal(signum, frame):
+        preempted["sig"] = signum
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _on_signal)
+        except ValueError:      # not in the main thread (tests)
+            pass
+
+    try:
+        with mesh:
+            state = jax.device_put(state, replicated(mesh))
+            for epoch in range(num_epochs):
+                for batch_host in loader:
                     batch = shard_batch(batch_host, mesh)
-                    _, m = eval_step(state, batch)
-                    eval_metrics.append({k: float(v) for k, v in m.items()})
-                if eval_metrics:
-                    mean = {k: float(np.mean([m[k] for m in eval_metrics]))
-                            for k in eval_metrics[0]}
-                    logger.write_scalars(int(state.step), mean, prefix="eval")
-    ckpt.save(int(state.step), state)
-    return state
+                    state, metrics = step_fn(state, batch)
+                    total += 1
+                    step_num = start_step + total
+                    pending.append((step_num, metrics))
+                    if total % log_every == 0:
+                        flush_metrics()
+                    if (total % save_every_steps == 0
+                            and epoch % checkpoint_freq == 0):
+                        flush_metrics()
+                        ckpt.save(step_num, state)
+                        save_visualization(state, batch_host, step_num)
+                    stop = (max_steps is not None and total >= max_steps)
+                    if preempted["sig"] is not None:
+                        print(f"signal {preempted['sig']}: emergency "
+                              f"checkpoint at step {step_num}", flush=True)
+                        stop = True
+                    if stop:
+                        flush_metrics()
+                        logger.log_epoch(epoch)
+                        ckpt.save(step_num, state)
+                        save_visualization(state, batch_host, step_num)
+                        return state
+                flush_metrics()
+                logger.log_epoch(epoch)
+                if eval_loader is not None:
+                    eval_metrics = []
+                    for batch_host in eval_loader:
+                        batch = shard_batch(batch_host, mesh)
+                        _, m = eval_step(state, batch)
+                        eval_metrics.append(
+                            {k: float(v) for k, v in m.items()})
+                    if eval_metrics:
+                        mean = {k: float(np.mean([m[k] for m in eval_metrics]))
+                                for k in eval_metrics[0]}
+                        logger.write_scalars(start_step + total, mean,
+                                             prefix="eval")
+        flush_metrics()
+        ckpt.save(start_step + total, state)
+        return state
+    finally:
+        for sig, handler in prev_handlers.items():
+            signal.signal(sig, handler)

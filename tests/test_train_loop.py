@@ -107,3 +107,35 @@ def test_metrics_logger(tmp_path):
     assert "a - 2.0" in text
     scalars = read_scalars(lg.scalar_path)
     assert "train/a" in scalars
+
+
+def test_preemption_emergency_checkpoint(lrw_root, tmp_path, monkeypatch):
+    """SIGTERM/SIGINT requests an emergency checkpoint at the next step
+    boundary (the reference's never-called `emergent` save path,
+    ref:logger.py:44-50).  Simulated deterministically: the fake
+    signal.signal invokes the train() handler at install time, as if the
+    preemption signal arrived during startup — train must run exactly one
+    step, checkpoint, and return."""
+    import signal
+
+    fired = []
+
+    def fake_signal(sig, handler):
+        if sig == signal.SIGTERM and callable(handler) and not fired:
+            fired.append(sig)
+            handler(sig, None)
+        return signal.SIG_DFL
+
+    monkeypatch.setattr(signal, "signal", fake_signal)
+    cfg = json.loads(json.dumps(SMALL_CONFIG))
+    cfg["dataset_params"]["root_dir"] = lrw_root
+    cfg["train_params"]["num_epochs"] = 5
+    log_dir = str(tmp_path / "log_preempt")
+    state = train(cfg, "train_part1", log_dir, max_steps=None)
+    assert fired, "train() never installed a SIGTERM handler"
+    assert int(state.step) == 1
+    mgr = CheckpointManager(os.path.join(log_dir, "checkpoints"))
+    assert mgr.latest_step() == 1
+    # buffered metrics were flushed before the emergency save
+    scalars = read_scalars(os.path.join(log_dir, "scalars.jsonl"))
+    assert any(k.startswith("train/") for k in scalars)
