@@ -35,6 +35,10 @@ def build_parser() -> ArgumentParser:
                              "fine-tune perceptual loss "
                              "(ref:modules/model.py:10-24); random VGG "
                              "features are used (with a warning) otherwise")
+    parser.add_argument("--emo_checkpoint", default=None,
+                        help="torch EmotionK .pth.tar; in --mode "
+                             "reconstruction its 512-d trunk embedding adds "
+                             "the AED metric")
     parser.add_argument("--max_steps", type=int, default=None,
                         help="stop after N optimizer steps (smoke runs)")
     parser.add_argument("--compute_dtype", default=None,
@@ -99,8 +103,20 @@ def main(argv=None):
         if opt.mode == "reconstruction":
             n = config.get("reconstruction_params", {}).get(
                 "num_videos", opt.num_videos)
+            emotion_feature_fn = None
+            if opt.emo_checkpoint:
+                import jax
+                from eamm_tpu.config import build_emotion_detector
+                emo = build_emotion_detector(config)
+                emo_vars = compat.convert_emotion_k(
+                    compat.load_torch_checkpoint(
+                        opt.emo_checkpoint)["emo_detector"])
+                emotion_feature_fn = jax.jit(
+                    lambda frames: emo.apply(emo_vars, frames,
+                                             method=emo.feature))
             out = reconstruction(models, variables, dataset,
-                                 min(n, opt.num_videos))
+                                 min(n, opt.num_videos),
+                                 emotion_feature_fn=emotion_feature_fn)
             print(json.dumps(out))
             return out
         ap = config.get("animate_params", {})

@@ -47,10 +47,16 @@ def _make_render(models, variables):
     return kp_fn, render_fn
 
 
-def reconstruction(models, variables, dataset, num_videos: int = 10) -> dict:
+def reconstruction(models, variables, dataset, num_videos: int = 10,
+                   emotion_feature_fn=None) -> dict:
     """Self-reconstruction over ``num_videos`` clips (FOMM evaluation
     protocol): per-frame L1 plus PSNR / SSIM / AKD (keypoints re-detected on
-    the reconstruction and compared to the ground-truth frames' keypoints)."""
+    the reconstruction and compared to the ground-truth frames' keypoints).
+
+    ``emotion_feature_fn`` ([T,H,W,3] -> [T,D] embedding, e.g. the jitted
+    ``EmotionK.feature`` trunk) additionally reports AED — the mean L2
+    distance between the embeddings of the reconstruction and the ground
+    truth, the standard companion metric to AKD in this literature."""
     from eamm_tpu.utils.metrics import clip_metrics
     kp_fn, render_fn = _make_render(models, variables)
     per_clip = []
@@ -63,9 +69,14 @@ def reconstruction(models, variables, dataset, num_videos: int = 10) -> dict:
         pred = render_fn(source, kp_d["value"], kp_d["jacobian"],
                          kp_s["value"], kp_s["jacobian"])
         kp_pred = kp_fn(pred)
-        per_clip.append(clip_metrics(pred, driving,
-                                     kp_pred=kp_pred["value"],
-                                     kp_target=kp_d["value"]))
+        m = clip_metrics(pred, driving,
+                         kp_pred=kp_pred["value"],
+                         kp_target=kp_d["value"])
+        if emotion_feature_fn is not None:
+            m["aed"] = float(jnp.mean(jnp.linalg.norm(
+                emotion_feature_fn(pred) - emotion_feature_fn(driving),
+                axis=-1)))
+        per_clip.append(m)
     out = {"reconstruction_" + k: float(np.mean([m[k] for m in per_clip]))
            for k in (per_clip[0] if per_clip else {})}
     out["videos"] = len(per_clip)

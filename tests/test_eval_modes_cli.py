@@ -41,11 +41,18 @@ def eval_env(tmp_path_factory):
         np.save(str(pose_dir / f"{clip.split('/')[1]}.npy"),
                 rng.randn(30, 7))
 
+    from tests.test_compat_emotion import TEmotionK
+    emo = TEmotionK(be=32, max_f=128, blocks=5)
+    _randomize_bn_stats(emo)
+    torch.save({"emo_detector": emo.state_dict()}, str(d / "emo.pth.tar"))
+
+    model_params = dict(SMALL_MODEL_PARAMS)
+    model_params["emotion_params"] = {"max_features": 128}
     cfg = {"dataset_params": {"name": "LRW", "root_dir": str(root),
                               "frame_shape": [256, 256, 3],
                               "id_sampling": False,
                               "augmentation_params": {}},
-           "model_params": SMALL_MODEL_PARAMS,
+           "model_params": model_params,
            "train_params": {"jaco_net": "cnn", "batch_size": 2},
            "reconstruction_params": {"num_videos": 2},
            "animate_params": {"num_pairs": 2, "normalization_params": {
@@ -64,6 +71,21 @@ def test_reconstruction_mode(eval_env, tmp_path):
                 "--log_dir", str(tmp_path), "--num_videos", "2"])
     assert out["videos"] == 2
     assert np.isfinite(out["reconstruction_l1"])
+    assert {"reconstruction_psnr", "reconstruction_ssim",
+            "reconstruction_akd"} <= set(out)
+    assert "reconstruction_aed" not in out      # no emotion checkpoint given
+
+
+def test_reconstruction_mode_aed(eval_env, tmp_path):
+    """--emo_checkpoint adds the AED metric (EmotionK trunk embedding)."""
+    from eamm_tpu.cli.run import main
+    out = main(["--config", f"{eval_env}/config.yaml",
+                "--mode", "reconstruction",
+                "--fomm_checkpoint", f"{eval_env}/fomm.pth.tar",
+                "--emo_checkpoint", f"{eval_env}/emo.pth.tar",
+                "--log_dir", str(tmp_path), "--num_videos", "1"])
+    assert np.isfinite(out["reconstruction_aed"])
+    assert out["reconstruction_aed"] >= 0.0
 
 
 def test_animate_mode(eval_env, tmp_path):
