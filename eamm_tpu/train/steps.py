@@ -187,12 +187,13 @@ def _make_part1_loss(models: dict, train_params: dict) -> Callable:
             # one source image, so the generator runs as ONE batched
             # apply: encode the source once, tile the 64^2 feature volume,
             # and decode the F frames as a [F*B] batch (frame-major: row
-            # f*B+b).  Every loss below reduces with jnp.mean, so this is
-            # numerically identical to the reference's per-frame loop
-            # averaged over frames — while giving XLA 4x-larger matmuls
-            # and one BN-stat update instead of four sequential ones
-            # (same deviation class as the folded-window BN stats,
-            # PARITY.md "Known deviations").
+            # f*B+b).  Every loss below reduces with jnp.mean, so the
+            # reduction keeps the reference's per-frame-average semantics
+            # exactly; the only numerical difference is train-mode BN
+            # normalizing over F*B rows instead of B per frame (same
+            # documented deviation class as the folded-window BN stats,
+            # PARITY.md "Known deviations") — in exchange XLA sees
+            # F-times-larger matmuls and one BN-stat update.
             percep_frames = tuple(range(0, T, 4))
             F = len(percep_frames)
             kp_branch = kp_audio if gen_mode == "audio" else kp_driving
