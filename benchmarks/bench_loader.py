@@ -48,19 +48,19 @@ def build_synthetic_lrw(root: str, n_clips: int, frames: int = 30,
                 rng.randn(frames, 7).astype(np.float32))
 
 
-def bench(native: bool, root: str, batch_size: int, steps: int,
+def bench(mode: str, root: str, batch_size: int, steps: int,
           num_workers: int) -> None:
     from eamm_tpu.data import native as native_mod
     from eamm_tpu.data.datasets import AudioDataset, DatasetRepeater, DataLoader
-    if not native:
+    if mode == "imageio":
         native_mod._lib_failed = True            # force imageio fallback
         native_mod._lib = None
     else:
         native_mod._lib_failed = False
         native_mod._lib = None
-        if not native_mod.native_available():
+        if mode == "native" and not native_mod.native_available():
             print(json.dumps({"metric": "loader_batches_per_sec",
-                              "native": True, "skipped": "no toolchain"}))
+                              "mode": mode, "skipped": "no toolchain"}))
             return
     ds = DatasetRepeater(AudioDataset(root, is_train=True), 100000)
     loader = DataLoader(ds, batch_size=batch_size, num_workers=num_workers,
@@ -77,7 +77,7 @@ def bench(native: bool, root: str, batch_size: int, steps: int,
     dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": "loader_batches_per_sec",
-        "native": native,
+        "mode": mode,
         "batch_size": batch_size,
         "num_workers": num_workers,
         "batches_per_sec": round(steps / dt, 2),
@@ -95,9 +95,15 @@ def main():
         print(f"building synthetic LRW layout ({n_clips} clips)...",
               file=sys.stderr)
         build_synthetic_lrw(root, n_clips)
-        for native in (True, False):
-            bench(native, root, batch_size=6, steps=steps,
+        for mode in ("native", "imageio"):
+            bench(mode, root, batch_size=6, steps=steps,
                   num_workers=workers)
+        # decode-free packed format (packs sit next to the PNGs;
+        # _read_frames prefers them automatically)
+        from eamm_tpu.data.packed import pack_tree
+        pack_tree(os.path.join(root, "Image"))
+        bench("packed", root, batch_size=6, steps=steps,
+              num_workers=workers)
 
 
 if __name__ == "__main__":

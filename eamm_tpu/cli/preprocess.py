@@ -47,6 +47,14 @@ def build_parser() -> ArgumentParser:
     pose.add_argument("--params", required=True,
                       help="[N,>=12] npy of 3DMM camera params")
     pose.add_argument("--out", required=True)
+
+    pack = sub.add_parser(
+        "pack", help="pack per-frame PNGs into decode-free frames.eammpack "
+                     "files (one per clip directory, written atomically)")
+    pack.add_argument("--root", required=True,
+                      help="dataset tree to walk (every directory holding "
+                           "<N>.png frames gets a pack)")
+    pack.add_argument("--quiet", action="store_true")
     return parser
 
 
@@ -89,6 +97,12 @@ def main(argv=None):
         np.save(opt.out, poses)
         print(f"{poses.shape} -> {opt.out}")
         return opt.out
+
+    if opt.cmd == "pack":
+        from eamm_tpu.data.packed import pack_tree
+        count = pack_tree(opt.root, verbose=not opt.quiet)
+        print(f"{count} clip packs under {opt.root}")
+        return count
 
 
 if __name__ == "__main__":

@@ -51,14 +51,46 @@ def _png_size(path: str) -> tuple[int, int]:
 
 
 def _read_frames(paths: list[str], hw=None) -> np.ndarray:
-    """Window frame decode through the native C++ batch decoder when
-    available (libpng + worker threads), imageio otherwise.  hw=None decodes
+    """Window frame load: a ``frames.eammpack`` file next to the requested
+    PNGs (see ``eamm_tpu.data.packed``) is served as a decode-free memmap
+    slice; everything else goes through the native C++ batch decoder when
+    available (libpng + worker threads), imageio otherwise.  hw=None loads
     at the files' native resolution (reference semantics: clips are
     pre-cropped, never resized at load time)."""
-    from eamm_tpu.data import native
+    from eamm_tpu.data import native, packed
+
+    by_dir: dict[str, list[int]] = {}
+    for i, p in enumerate(paths):
+        by_dir.setdefault(os.path.dirname(p), []).append(i)
+    packs = {d: packed.find_pack(d) for d in by_dir}
+
+    if not any(packs.values()):
+        if hw is None:
+            hw = _png_size(paths[0])
+        return native.decode_batch(paths, hw[0], hw[1])
+
     if hw is None:
-        hw = _png_size(paths[0])
-    return native.decode_batch(paths, hw[0], hw[1])
+        d0 = os.path.dirname(paths[0])
+        hw = (packed.frame_size(packs[d0]) if packs[d0]
+              else _png_size(paths[0]))
+    out = np.empty((len(paths), hw[0], hw[1], 3), np.float32)
+    png_rows: list[int] = []
+    for d, rows in by_dir.items():
+        pack_path = packs[d]
+        if pack_path is None:
+            png_rows.extend(rows)
+            continue
+        ids = [int(os.path.basename(paths[i])[:-len(".png")]) for i in rows]
+        frames = packed.read_frames(pack_path, ids)
+        if frames.shape[1:3] != tuple(hw):
+            raise IOError(
+                f"{pack_path}: packed size {frames.shape[1:3]} != "
+                f"window size {tuple(hw)}")
+        out[rows] = frames[..., :3]
+    if png_rows:
+        out[png_rows] = native.decode_batch(
+            [paths[i] for i in png_rows], hw[0], hw[1])
+    return out
 
 
 def _imread_float(path: str) -> np.ndarray:
@@ -256,8 +288,14 @@ class MeadDataset:
         pose = np.asarray(one_euro_filter(jnp.asarray(pose_raw),
                                           mincutoff=0.01, beta=0.7, freq=100))
 
-        neu_frames = sorted(os.listdir(neu_path))
-        neu_file = os.path.join(neu_path, str(np.random.choice(neu_frames)))
+        from eamm_tpu.data import packed
+        neu_pack = packed.find_pack(neu_path)
+        if neu_pack is not None:
+            neu_name = f"{int(np.random.choice(packed.frame_ids(neu_pack)))}.png"
+        else:
+            neu_name = str(np.random.choice(sorted(
+                f for f in os.listdir(neu_path) if f.endswith(".png"))))
+        neu_file = os.path.join(neu_path, neu_name)
 
         n = len(mfcc)
         r = 0 if 16 < n < 24 else random.choice(range(3, n - 20))

@@ -242,3 +242,69 @@ def test_dataloader_surfaces_decode_errors(lrw_root, tmp_path):
     loader = DataLoader(ds, batch_size=1, num_workers=1, prefetch=1)
     with pytest.raises(IOError, match="corrupt frame"):
         next(iter(loader))
+
+
+# ------------------------------------------------------------ packed format
+
+def test_pack_roundtrip_and_read(tmp_path):
+    """Pack PNGs, read ids back, then delete the PNGs — _read_frames must
+    serve identical pixels from the pack alone."""
+    import random
+    from eamm_tpu.data import packed
+    from eamm_tpu.data.datasets import _read_frames
+
+    rng = np.random.RandomState(3)
+    clip = tmp_path / "clip"
+    clip.mkdir()
+    for i in range(5, 12):
+        _write_png(str(clip / f"{i}.png"), rng)
+    paths = [str(clip / f"{i}.png") for i in (5, 9, 11)]
+    ref = _read_frames(paths)
+
+    out = packed.pack_clip(str(clip))
+    assert out is not None and os.path.exists(out)
+    assert packed.frame_size(out) == (64, 64)
+    assert packed.frame_ids(out) == list(range(5, 12))
+    np.testing.assert_array_equal(packed.read_frames(out, [5, 9, 11]), ref)
+
+    for i in range(5, 12):
+        os.remove(str(clip / f"{i}.png"))
+    np.testing.assert_array_equal(_read_frames(paths), ref)
+
+    with pytest.raises(IOError, match="frame id"):
+        packed.read_frames(out, [99])
+
+
+def test_packed_lrw_dataset_equivalent(tmp_path):
+    """A packed LRW tree yields byte-identical samples to the PNG tree."""
+    import random
+    import shutil
+    from eamm_tpu.data import packed
+    from eamm_tpu.cli.preprocess import main as preprocess_main
+
+    rng = np.random.RandomState(4)
+    root = tmp_path / "lrw"
+    img = root / "Image" / "train_fo" / "WORD" / "clip0"
+    mfcc = root / "MFCC" / "train" / "WORD" / "clip0"
+    pose = root / "pose" / "train_fo" / "WORD"
+    for d in (img, mfcc, pose):
+        d.mkdir(parents=True)
+    for i in range(30):
+        _write_png(str(img / f"{i}.png"), rng)
+        np.save(str(mfcc / f"{i}.npy"), rng.randn(28, 13))
+    np.save(str(pose / "clip0.npy"), rng.randn(30, 7))
+
+    ds = AudioDataset(str(root), is_train=True)
+    random.seed(7)
+    np.random.seed(7)
+    before = ds[0]
+
+    assert preprocess_main(["pack", "--root", str(root), "--quiet"]) == 1
+    for i in range(30):
+        os.remove(str(img / f"{i}.png"))
+
+    random.seed(7)
+    np.random.seed(7)
+    after = ds[0]
+    for key in before:
+        np.testing.assert_array_equal(before[key], after[key])
