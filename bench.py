@@ -146,10 +146,14 @@ def main():
         emo_frames = rng.rand(20, 256, 256, 3).astype(np.float32)
         pipe.render_yuv420(src, wav, pose, transformed_video=emo_frames,
                            add_emo=True)
-        t0 = time.time()
-        out_e = pipe.render_yuv420(src, wav + 2e-5, pose,
-                                   transformed_video=emo_frames, add_emo=True)
-        emo_fps = out_e[0].shape[0] / (time.time() - t0)
+        emo_times = []
+        for i in range(3):
+            t0 = time.time()
+            out_e = pipe.render_yuv420(src, wav + 2e-5 * (i + 1), pose,
+                                       transformed_video=emo_frames,
+                                       add_emo=True)
+            emo_times.append(time.time() - t0)
+        emo_fps = out_e[0].shape[0] / min(emo_times)
 
     # Batched clip inference (BASELINE config 3): 4 identities x 10 s.
     n_id = 4

@@ -220,6 +220,12 @@ class EammPipeline:
         kp_source without heatmap)."""
         o = self.options
         Tp = pose.shape[0]
+        if transformed_frames.dtype == jnp.uint8:
+            # production upload format: the host ships emotion frames as
+            # uint8 (4x fewer bytes over the ~30 MB/s host->device link)
+            # and the program rescales on device
+            transformed_frames = transformed_frames.astype(jnp.float32) \
+                * jnp.float32(1.0 / 255.0)
         mfcc_windows = audio_to_mfcc_windows(waveform)[:Tp]
         kp_source, kp_audio, kp_initial, _ = self._audio_kp_stage_impl(
             variables, source_image, mfcc_windows, pose)
@@ -780,8 +786,13 @@ class EammPipeline:
                 raise ValueError("add_emo requires transformed_video frames")
             # keep only the unique frames; the fused program cycles them with
             # modular indexing (== np.resize semantics, ref:demo.py:499-500)
-            frames = np.asarray(transformed_video, np.float32)
-            emo_frames = jnp.asarray(frames[:Tp])
+            frames = np.asarray(transformed_video, np.float32)[:Tp]
+            if o.transfer_format == "yuv420":
+                # lossy delivery path: quantize the upload to uint8 too
+                # (visually lossless; the bit-exact "rgb" path ships f32)
+                frames = np.clip(np.rint(frames * 255.0), 0,
+                                 255).astype(np.uint8)
+            emo_frames = jnp.asarray(frames)
         else:
             emo_frames = jnp.zeros((1, 256, 256, 3), jnp.float32)
 

@@ -118,6 +118,31 @@ def test_yuv420_transfer_matches_rgb(pipeline):
     assert err.max() < 0.2          # sharp chroma edges only
 
 
+def test_uint8_emotion_upload(pipeline):
+    """The yuv420 production path ships emotion frames to the device as
+    uint8 (4x fewer host->device bytes); the quantization is visually
+    lossless vs the bit-exact f32 upload of the rgb path."""
+    src, wav, pose, emo_frames = _inputs(seed=10)
+    yuv_pipe = EammPipeline(
+        pipeline.config, pipeline.vars,
+        options=PipelineOptions(frame_chunk=8, time_bucket=32,
+                                transfer_format="yuv420"))
+    # upload dtype switches with the transfer format
+    _, args = yuv_pipe._prepare_full_render_args(
+        src, wav, pose, emo_frames, add_emo=True)
+    assert args[3].dtype == np.uint8
+    _, args_rgb = pipeline._prepare_full_render_args(
+        src, wav, pose, emo_frames, add_emo=True)
+    assert args_rgb[3].dtype == np.float32
+
+    rgb = pipeline.render_uint8(src, wav, pose,
+                                transformed_video=emo_frames, add_emo=True)
+    back = yuv_pipe.render_uint8(src, wav, pose,
+                                 transformed_video=emo_frames, add_emo=True)
+    err = np.abs(back.astype(np.float32) - rgb.astype(np.float32)) / 255.0
+    assert err.mean() < 5e-3 and err.max() < 0.2
+
+
 def test_yuv420_batch_transfer(pipeline):
     rng = np.random.RandomState(6)
     sources = rng.rand(2, 256, 256, 3).astype(np.float32)
