@@ -67,8 +67,10 @@ def _perturb(batch):
     return batch
 
 
-def _run(name, step, state, batch, steps):
+def _run(name, step_raw, state, batch, steps):
+    import jax
     from eamm_tpu.utils import StepTimer
+    step = jax.jit(step_raw, donate_argnums=0)
     t0 = time.time()
     # compile + warm-up (blocked)
     batch = _perturb(batch)
@@ -103,6 +105,38 @@ def _run(name, step, state, batch, steps):
     final_loss = float(metrics["total"])  # fences the whole pipeline
     pipelined_ms = (time.time() - t1) / steps * 1e3
 
+    # Multi-step dispatch (train_params.steps_per_dispatch): K optimizer
+    # steps scanned inside one device program — amortizes the per-dispatch
+    # round trip that separates the pipelined wall time from device-busy
+    # time.  Opt-in: EAMM_STEPS_PER_DISPATCH=K.
+    extra = {}
+    spd = int(os.environ.get("EAMM_STEPS_PER_DISPATCH", "0"))
+    if spd > 1:
+        import jax.numpy as jnp
+        from eamm_tpu.train.steps import make_multi_step
+        multi = jax.jit(make_multi_step(step_raw), donate_argnums=0)
+
+        def stacked_batches(b):
+            group = []
+            for _ in range(spd):
+                b = _perturb(b)
+                group.append(b)
+            return {k: jnp.stack([g[k] for g in group]) for k in group[0]}, b
+
+        stacked, batch = stacked_batches(batch)
+        state, sm = multi(state, stacked)        # compile + warm-up
+        float(sm["total"][-1])
+        n_disp = max(2, steps // spd + 1)
+        t2 = time.time()
+        for _ in range(n_disp):
+            stacked, batch = stacked_batches(batch)
+            state, sm = multi(state, stacked)
+        float(sm["total"][-1])
+        multi_ms = (time.time() - t2) / (n_disp * spd) * 1e3
+        extra = {"steps_per_dispatch": spd,
+                 "multi_ms_per_step": round(multi_ms, 1),
+                 "multi_steps_per_sec": round(1e3 / multi_ms, 2)}
+
     print(json.dumps({
         "metric": f"{name}_steps_per_sec",
         "compute_dtype": _train_dtype(),
@@ -115,6 +149,7 @@ def _run(name, step, state, batch, steps):
         "total_incl_compile_sec": round(time.time() - t0, 1),
         "compile_sec": round(compile_sec, 1),
         "final_loss": final_loss,
+        **extra,
     }))
 
 
@@ -131,8 +166,8 @@ def bench_part1(steps=6, batch_size=8):
     batch = _batch(np.random.RandomState(0), batch_size)
     opt = make_optimizer()
     state = init_part1_state(jax.random.PRNGKey(0), models, batch, opt)
-    step = jax.jit(make_part1_step(models, tp, opt), donate_argnums=0)
-    _run("train_part1", step, state, batch, steps)
+    _run("train_part1", make_part1_step(models, tp, opt), state, batch,
+         steps)
 
 
 def bench_fine_tune(steps=6, batch_size=6):
@@ -155,9 +190,9 @@ def bench_fine_tune(steps=6, batch_size=6):
     vgg_params = models["vgg"].init(rng, jnp.zeros((1, 64, 64, 3)))["params"]
     state = init_part1_gan_state(rng, models, batch, g_opt, d_opt,
                                  vgg_params=vgg_params)
-    step = jax.jit(make_part1_gan_step(models, tp, g_opt, d_opt),
-                   donate_argnums=0)
-    _run("train_part1_fine_tune", step, state, batch, steps)
+    _run("train_part1_fine_tune", make_part1_gan_step(models, tp, g_opt,
+                                                      d_opt),
+         state, batch, steps)
 
 
 def bench_part2(steps=6, batch_size=16):
@@ -173,8 +208,8 @@ def bench_part2(steps=6, batch_size=16):
     batch = _batch(np.random.RandomState(2), batch_size, mead=True)
     opt = make_optimizer()
     state = init_part2_state(jax.random.PRNGKey(2), models, batch, opt)
-    step = jax.jit(make_part2_step(models, tp, opt), donate_argnums=0)
-    _run("train_part2", step, state, batch, steps)
+    _run("train_part2", make_part2_step(models, tp, opt), state, batch,
+         steps)
 
 
 def main():

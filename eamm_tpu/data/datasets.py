@@ -367,7 +367,12 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size, shuffle=True, num_workers=4,
-                 prefetch=2, drop_last=True, seed=0):
+                 prefetch=2, drop_last=True, seed=0, shard=None):
+        """shard: optional ``(index, count)`` — this loader serves every
+        count-th batch starting at index.  Multi-host data parallelism:
+        each host runs the same shuffle (same seed) and takes a disjoint
+        slice, so the global batch stream partitions exactly
+        (pass ``(jax.process_index(), jax.process_count())``)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -375,11 +380,32 @@ class DataLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.rng = random.Random(seed)
+        if shard is not None:
+            index, count = shard
+            if not 0 <= index < count:
+                raise ValueError(f"shard index {index} not in [0, {count})")
+        self.shard = shard
+
+    def _batch_indices(self):
+        indices = list(range(len(self.dataset)))
+        if self.shuffle:
+            self.rng.shuffle(indices)
+        batches = [indices[i:i + self.batch_size]
+                   for i in range(0, len(indices), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        if self.shard is not None:
+            index, count = self.shard
+            batches = batches[index::count]
+        return batches
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
         if not self.drop_last and len(self.dataset) % self.batch_size:
             n += 1
+        if self.shard is not None:
+            index, count = self.shard
+            n = len(range(index, n, count))
         return n
 
     def _collate(self, samples):
@@ -389,13 +415,7 @@ class DataLoader:
         return out
 
     def __iter__(self):
-        indices = list(range(len(self.dataset)))
-        if self.shuffle:
-            self.rng.shuffle(indices)
-        batches = [indices[i:i + self.batch_size]
-                   for i in range(0, len(indices), self.batch_size)]
-        if self.drop_last:
-            batches = [b for b in batches if len(b) == self.batch_size]
+        batches = self._batch_indices()
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()

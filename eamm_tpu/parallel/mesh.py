@@ -60,7 +60,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put(tree, sharding):
+    if jax.process_count() > 1:
+        # multi-host: each process holds its own (disjoint) local batch —
+        # DataLoader(shard=(process_index, process_count)) — and the global
+        # array is assembled from the per-process shards over DCN
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
 def shard_batch(tree, mesh: Mesh, axis_name: str = "data"):
     """Device-put a pytree of host arrays with the batch axis sharded."""
-    sharding = batch_sharding(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return _put(tree, batch_sharding(mesh, axis_name))
+
+
+def shard_stacked_batch(tree, mesh: Mesh, axis_name: str = "data"):
+    """Device-put a [K, B, ...] stack of K batches (multi-step dispatch):
+    the scan axis K stays whole, the batch axis shards over the mesh."""
+    return _put(tree, NamedSharding(mesh, P(None, axis_name)))

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from eamm_tpu import config as cfg
 from eamm_tpu.data import (AudioDataset, VoxDataset, MeadDataset,
                            DatasetRepeater, DataLoader)
-from eamm_tpu.parallel import make_mesh_for_batch, shard_batch, replicated
+from eamm_tpu.parallel import (make_mesh_for_batch, shard_batch,
+                               shard_stacked_batch, replicated)
 from eamm_tpu.train.checkpoint import CheckpointManager
 from eamm_tpu.train.logging import MetricsLogger
 from eamm_tpu.train.optim import make_optimizer
@@ -97,7 +98,12 @@ def train(config: dict, mode: str, log_dir: str, checkpoint: str | None = None,
 
     dataset = build_dataset(config, is_train=True)
     repeated = DatasetRepeater(dataset, tp.get("num_repeats", 1))
-    loader = DataLoader(repeated, batch_size=tp["batch_size"], seed=seed)
+    # multi-host DP: every host runs the identical shuffle (same seed) and
+    # serves a disjoint slice of the batch stream; batch_size is per-host
+    shard = ((jax.process_index(), jax.process_count())
+             if jax.process_count() > 1 else None)
+    loader = DataLoader(repeated, batch_size=tp["batch_size"], seed=seed,
+                        shard=shard)
     steps_per_epoch = max(1, len(loader))
 
     sched = dict(milestones_epochs=tp.get("epoch_milestones", (60, 90)),
@@ -217,10 +223,17 @@ def train(config: dict, mode: str, log_dir: str, checkpoint: str | None = None,
         if len(eval_dataset) > 0:
             eval_loader = DataLoader(eval_dataset,
                                      batch_size=tp["batch_size"],
-                                     shuffle=False, seed=seed)
+                                     shuffle=False, seed=seed, shard=shard)
     except (FileNotFoundError, OSError):
         pass
     eval_step = jax.jit(step_fn)
+    # Multi-step dispatch: scan K optimizer steps inside ONE device program
+    # (train_params.steps_per_dispatch) — each host->device dispatch round
+    # trip otherwise costs as much as a small step's compute (part1:
+    # 16.4 ms device-busy vs 23.2 ms wall, BASELINE.md).
+    spd = max(1, int(tp.get("steps_per_dispatch", 1)))
+    multi_fn = (jax.jit(S.make_multi_step(step_fn), donate_argnums=0)
+                if spd > 1 else None)
     step_fn = jax.jit(step_fn, donate_argnums=0)
     checkpoint_freq = tp.get("checkpoint_freq", 1)
     save_every_steps = {"train_part1": 500, "train_part1_fine_tune": 500,
@@ -238,7 +251,9 @@ def train(config: dict, mode: str, log_dir: str, checkpoint: str | None = None,
     pending: list[tuple[int, dict]] = []
 
     def flush_metrics():
-        for step_num, m in pending:
+        # one batched device->host fetch for the whole buffer (per-scalar
+        # float() reads would pay a round trip each)
+        for step_num, m in jax.device_get(pending):
             m = {k: float(v) for k, v in m.items()}
             logger.log_iter(m)
             logger.write_scalars(step_num, m)
@@ -262,19 +277,43 @@ def train(config: dict, mode: str, log_dir: str, checkpoint: str | None = None,
             pass
 
     try:
+        import itertools
         with mesh:
             state = jax.device_put(state, replicated(mesh))
             for epoch in range(num_epochs):
-                for batch_host in loader:
-                    batch = shard_batch(batch_host, mesh)
-                    state, metrics = step_fn(state, batch)
-                    total += 1
+                batch_iter = iter(loader)
+                while True:
+                    take = spd
+                    if max_steps is not None:
+                        take = min(take, max_steps - total)
+                    group = list(itertools.islice(batch_iter, max(1, take)))
+                    if not group:
+                        break
+                    if len(group) == spd and spd > 1:
+                        stacked = S.stack_host_batches(group)
+                        state, sm = multi_fn(
+                            state, shard_stacked_batch(stacked, mesh))
+                        metrics_list = S.split_stacked_metrics(sm, spd)
+                    else:
+                        # short tail (epoch end / max_steps) runs through the
+                        # single-step program — no extra scan-length compiles
+                        metrics_list = []
+                        for b in group:
+                            state, m = step_fn(state, shard_batch(b, mesh))
+                            metrics_list.append(m)
+                    batch_host = group[-1]
+                    prev_total = total
+                    total += len(group)
                     step_num = start_step + total
-                    pending.append((step_num, metrics))
-                    if total % log_every == 0:
+                    for j, m in enumerate(metrics_list):
+                        pending.append((start_step + prev_total + 1 + j, m))
+
+                    def crossed(every: int) -> bool:
+                        return (total // every) > (prev_total // every)
+
+                    if crossed(log_every):
                         flush_metrics()
-                    if (total % save_every_steps == 0
-                            and epoch % checkpoint_freq == 0):
+                    if crossed(save_every_steps) and epoch % checkpoint_freq == 0:
                         flush_metrics()
                         ckpt.save(step_num, state)
                         save_visualization(state, batch_host, step_num)

@@ -308,3 +308,28 @@ def test_packed_lrw_dataset_equivalent(tmp_path):
     after = ds[0]
     for key in before:
         np.testing.assert_array_equal(before[key], after[key])
+
+
+def test_dataloader_shard_partitions_batches():
+    """shard=(i, n): hosts with the same seed serve disjoint batch slices
+    that together cover the full stream (multi-host data parallelism)."""
+
+    class Idx:
+        def __len__(self):
+            return 24
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i, np.int64)}
+
+    def batch_ids(shard):
+        loader = DataLoader(Idx(), batch_size=4, num_workers=1, prefetch=1,
+                            seed=11, shard=shard)
+        got = [sorted(set(b["x"][:, 0].tolist())) for b in loader]
+        assert len(got) == len(loader)
+        return got
+
+    full = batch_ids(None)
+    part0, part1 = batch_ids((0, 2)), batch_ids((1, 2))
+    assert part0 == full[0::2] and part1 == full[1::2]
+    with pytest.raises(ValueError):
+        DataLoader(Idx(), batch_size=4, shard=(2, 2))

@@ -139,3 +139,20 @@ def test_preemption_emergency_checkpoint(lrw_root, tmp_path, monkeypatch):
     # buffered metrics were flushed before the emergency save
     scalars = read_scalars(os.path.join(log_dir, "scalars.jsonl"))
     assert any(k.startswith("train/") for k in scalars)
+
+
+def test_train_loop_multi_step_dispatch(lrw_root, tmp_path):
+    """steps_per_dispatch=2: two optimizer steps per device program; step
+    accounting, per-step scalars and the final checkpoint all line up."""
+    cfg = json.loads(json.dumps(SMALL_CONFIG))
+    cfg["dataset_params"]["root_dir"] = lrw_root
+    cfg["train_params"]["steps_per_dispatch"] = 2
+    cfg["train_params"]["log_every"] = 2
+    log_dir = str(tmp_path / "log")
+    state = train(cfg, "train_part1", log_dir, max_steps=4)
+    assert int(state.step) == 4
+    scalars = read_scalars(os.path.join(log_dir, "scalars.jsonl"))
+    steps_arr, _vals = scalars["train/loss_value"]
+    assert sorted(steps_arr.tolist()) == [1, 2, 3, 4]
+    mgr = CheckpointManager(os.path.join(log_dir, "checkpoints"))
+    assert mgr.latest_step() == 4

@@ -111,3 +111,43 @@ def test_part2_step_runs_and_learns():
         values.append(float(m["total"]))
     assert np.isfinite(float(m["total"]))
     assert np.mean(values[-3:]) < values[0]
+
+
+def test_multi_step_matches_sequential():
+    """K steps scanned in one program == K sequential single-step calls.
+
+    The scanned body and the straight-line program fuse differently
+    (~1e-5 reassociation), and adam amplifies that where gradients are
+    near zero (the update magnitude is ~lr regardless), so the state
+    comparison is bounded by a few lr; the first scanned step's metrics
+    come from identical inputs and must match tightly — this pins the
+    batch order and state threading of the scan."""
+    from eamm_tpu.train.steps import (make_multi_step, stack_host_batches,
+                                      split_stacked_metrics)
+    models = small_models()
+    opt = make_optimizer(lr=1e-3)
+    b0, b1 = part1_batch(7), part1_batch(8)
+    state0 = init_part1_state(
+        jax.random.PRNGKey(2), models, jax.tree.map(jnp.asarray, b0), opt)
+    step = jax.jit(make_part1_step(models, TRAIN_PARAMS, opt))
+
+    s_seq, m0 = step(state0, jax.tree.map(jnp.asarray, b0))
+    s_seq, m1 = step(s_seq, jax.tree.map(jnp.asarray, b1))
+
+    multi = jax.jit(make_multi_step(make_part1_step(models, TRAIN_PARAMS, opt)))
+    stacked = jax.tree.map(jnp.asarray, stack_host_batches([b0, b1]))
+    s_multi, sm = multi(state0, stacked)
+
+    assert int(s_multi.step) == int(s_seq.step) == 2
+    ms = split_stacked_metrics(jax.device_get(sm), 2)
+    m0h, m1h = jax.device_get([m0, m1])
+    for k in m0h:       # identical inputs: fusion tolerance only
+        np.testing.assert_allclose(ms[0][k], m0h[k], rtol=2e-3, atol=1e-5)
+    for k in m1h:       # second step sees ~1e-5-divergent params
+        np.testing.assert_allclose(ms[1][k], m1h[k], rtol=2e-2, atol=1e-3)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=0, atol=5e-3),
+        s_seq.trainable, s_multi.trainable)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=0, atol=5e-3),
+        s_seq.batch_stats, s_multi.batch_stats)
