@@ -47,6 +47,10 @@ def build_parser() -> ArgumentParser:
                              "params/optimizer/BN stats stay f32; bfloat16 "
                              "halves HBM traffic on the bandwidth-bound "
                              "fine-tune step)")
+    parser.add_argument("--steps_per_dispatch", type=int, default=None,
+                        help="scan K optimizer steps inside one device "
+                             "program (amortizes per-dispatch latency; "
+                             "numerics match sequential steps)")
     parser.add_argument("--seed", type=int, default=0)
     # accepted for reference-CLI parity; the mesh uses all visible devices
     parser.add_argument("--device_ids", default="0", type=str)
@@ -68,6 +72,8 @@ def main(argv=None):
     config = load_config(opt.config)
     if opt.compute_dtype:
         config["train_params"]["compute_dtype"] = opt.compute_dtype
+    if opt.steps_per_dispatch:
+        config["train_params"]["steps_per_dispatch"] = opt.steps_per_dispatch
 
     # timestamped log dir with the config copied in for provenance
     # (ref:run.py:47-56)
