@@ -48,6 +48,10 @@ def build_synthetic_lrw(root: str, n_clips: int, frames: int = 30,
                 rng.randn(frames, 7).astype(np.float32))
 
 
+JITTER = {"jitter_param": {"brightness": 0.1, "contrast": 0.1,
+                           "saturation": 0.1, "hue": 0.1}}
+
+
 def bench(mode: str, root: str, batch_size: int, steps: int,
           num_workers: int) -> None:
     from eamm_tpu.data import native as native_mod
@@ -62,7 +66,14 @@ def bench(mode: str, root: str, batch_size: int, steps: int,
             print(json.dumps({"metric": "loader_batches_per_sec",
                               "mode": mode, "skipped": "no toolchain"}))
             return
-    ds = DatasetRepeater(AudioDataset(root, is_train=True), 100000)
+    # host_jitter: reference-style host ColorJitter (part1 config jitter);
+    # device_aug: uint8 upload + factors, the per-pixel math moves on-chip
+    kwargs = {}
+    if mode.endswith("host_jitter"):
+        kwargs = {"augmentation_params": JITTER}
+    elif mode.endswith("device_aug"):
+        kwargs = {"augmentation_params": JITTER, "device_augmentation": True}
+    ds = DatasetRepeater(AudioDataset(root, is_train=True, **kwargs), 100000)
     loader = DataLoader(ds, batch_size=batch_size, num_workers=num_workers,
                         prefetch=2)
     it = iter(loader)
@@ -95,16 +106,39 @@ def main():
         print(f"building synthetic LRW layout ({n_clips} clips)...",
               file=sys.stderr)
         build_synthetic_lrw(root, n_clips)
+        # One fresh subprocess per mode: a mode's allocation churn / page-
+        # cache pressure measurably poisons later modes in the same process
+        # (measured: packed drops 10.5 -> 3.9 batches/s when the PNG modes
+        # run first).
+        import subprocess
+
+        def run_mode(mode):
+            subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--mode", mode, "--root", root,
+                            "--steps", str(steps),
+                            "--workers", str(workers)], check=True)
+
         for mode in ("native", "imageio"):
-            bench(mode, root, batch_size=6, steps=steps,
-                  num_workers=workers)
+            run_mode(mode)
         # decode-free packed format (packs sit next to the PNGs;
-        # _read_frames prefers them automatically)
+        # _read_frames prefers them automatically), then the augmentation
+        # variants on the packed tree: host ColorJitter vs uint8 + on-device
         from eamm_tpu.data.packed import pack_tree
         pack_tree(os.path.join(root, "Image"))
-        bench("packed", root, batch_size=6, steps=steps,
-              num_workers=workers)
+        for mode in ("packed", "packed_host_jitter", "packed_device_aug"):
+            run_mode(mode)
 
 
 if __name__ == "__main__":
-    main()
+    if "--mode" in sys.argv:
+        import argparse
+        ap = argparse.ArgumentParser()
+        ap.add_argument("--mode", required=True)
+        ap.add_argument("--root", required=True)
+        ap.add_argument("--steps", type=int, default=20)
+        ap.add_argument("--workers", type=int, default=1)
+        a = ap.parse_args()
+        bench(a.mode, a.root, batch_size=6, steps=a.steps,
+              num_workers=a.workers)
+    else:
+        main()

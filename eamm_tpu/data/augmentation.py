@@ -195,30 +195,37 @@ class ColorJitter:
         self.saturation = saturation
         self.hue = hue
 
-    def __call__(self, clip):
+    def sample_factors(self):
+        """One (b, c, s, hue) tuple per clip; disabled channels sample the
+        identity (b=c=s=1, hue=0)."""
         b = random.uniform(max(0, 1 - self.brightness), 1 + self.brightness) \
-            if self.brightness > 0 else None
+            if self.brightness > 0 else 1.0
         c = random.uniform(max(0, 1 - self.contrast), 1 + self.contrast) \
-            if self.contrast > 0 else None
+            if self.contrast > 0 else 1.0
         s = random.uniform(max(0, 1 - self.saturation), 1 + self.saturation) \
-            if self.saturation > 0 else None
-        hshift = random.uniform(-self.hue, self.hue) if self.hue > 0 else None
+            if self.saturation > 0 else 1.0
+        hshift = random.uniform(-self.hue, self.hue) if self.hue > 0 else 0.0
+        return b, c, s, hshift
 
+    @staticmethod
+    def apply_factors(clip, b, c, s, hshift):
+        """Apply one factor tuple to a [T, H, W, 3] clip (the device-side
+        `ops.augment.color_jitter` matches this exactly)."""
         out = []
         for img in clip:
             x = np.asarray(img, np.float64)
-            if b is not None:
-                x = x * b
-            if c is not None:
-                mean = x.mean(axis=(0, 1), keepdims=True).mean()
-                x = (x - mean) * c + mean
-            if s is not None:
-                gray = x @ np.array([0.299, 0.587, 0.114])
-                x = (x - gray[..., None]) * s + gray[..., None]
-            if hshift is not None:
+            x = x * b
+            mean = x.mean(axis=(0, 1), keepdims=True).mean()
+            x = (x - mean) * c + mean
+            gray = x @ np.array([0.299, 0.587, 0.114])
+            x = (x - gray[..., None]) * s + gray[..., None]
+            if hshift != 0.0:
                 x = _shift_hue(x, hshift)
             out.append(np.clip(x, 0, 1).astype(np.float32))
         return np.array(out)
+
+    def __call__(self, clip):
+        return self.apply_factors(clip, *self.sample_factors())
 
 
 def _shift_hue(rgb: np.ndarray, shift: float) -> np.ndarray:

@@ -50,14 +50,23 @@ def _png_size(path: str) -> tuple[int, int]:
     return h, w
 
 
-def _read_frames(paths: list[str], hw=None) -> np.ndarray:
+def _read_frames(paths: list[str], hw=None, uint8: bool = False) -> np.ndarray:
     """Window frame load: a ``frames.eammpack`` file next to the requested
     PNGs (see ``eamm_tpu.data.packed``) is served as a decode-free memmap
     slice; everything else goes through the native C++ batch decoder when
     available (libpng + worker threads), imageio otherwise.  hw=None loads
     at the files' native resolution (reference semantics: clips are
-    pre-cropped, never resized at load time)."""
+    pre-cropped, never resized at load time).  uint8=True serves raw bytes
+    (the device-augmentation upload format — a pure copy on the packed
+    path; exact either way since PNGs store uint8)."""
     from eamm_tpu.data import native, packed
+
+    dtype = np.uint8 if uint8 else np.float32
+
+    def from_f32(f):
+        if not uint8:
+            return f
+        return np.clip(np.rint(f * 255.0), 0, 255).astype(np.uint8)
 
     by_dir: dict[str, list[int]] = {}
     for i, p in enumerate(paths):
@@ -67,13 +76,13 @@ def _read_frames(paths: list[str], hw=None) -> np.ndarray:
     if not any(packs.values()):
         if hw is None:
             hw = _png_size(paths[0])
-        return native.decode_batch(paths, hw[0], hw[1])
+        return from_f32(native.decode_batch(paths, hw[0], hw[1]))
 
     if hw is None:
         d0 = os.path.dirname(paths[0])
         hw = (packed.frame_size(packs[d0]) if packs[d0]
               else _png_size(paths[0]))
-    out = np.empty((len(paths), hw[0], hw[1], 3), np.float32)
+    out = np.empty((len(paths), hw[0], hw[1], 3), dtype)
     png_rows: list[int] = []
     for d, rows in by_dir.items():
         pack_path = packs[d]
@@ -81,15 +90,15 @@ def _read_frames(paths: list[str], hw=None) -> np.ndarray:
             png_rows.extend(rows)
             continue
         ids = [int(os.path.basename(paths[i])[:-len(".png")]) for i in rows]
-        frames = packed.read_frames(pack_path, ids)
+        frames = packed.read_frames(pack_path, ids, dtype=dtype)
         if frames.shape[1:3] != tuple(hw):
             raise IOError(
                 f"{pack_path}: packed size {frames.shape[1:3]} != "
                 f"window size {tuple(hw)}")
         out[rows] = frames[..., :3]
     if png_rows:
-        out[png_rows] = native.decode_batch(
-            [paths[i] for i in png_rows], hw[0], hw[1])
+        out[png_rows] = from_f32(native.decode_batch(
+            [paths[i] for i in png_rows], hw[0], hw[1]))
     return out
 
 
@@ -118,12 +127,48 @@ def _discover_clips(image_dir: str) -> list[str]:
     return clips
 
 
+
+def _make_device_aug(augmentation_params):
+    """Validate + build the host-side SAMPLERS for device augmentation:
+    the per-clip flip coins and jitter factors are drawn on the host (the
+    reference's RNG semantics, ref:augmentation.py:408-430 order), the
+    per-pixel work runs inside the jitted train step
+    (`eamm_tpu.ops.augment.decode_and_augment`).  Only flip + jitter are
+    device-expressible; geometric augmentations (MEAD part-2 pipeline)
+    stay on the host."""
+    from eamm_tpu.data.augmentation import ColorJitter, RandomFlip
+    ap = augmentation_params or {}
+    extra = {k for k, v in ap.items() if v is not None} \
+        - {"flip_param", "jitter_param"}
+    if extra:
+        raise ValueError(
+            "device_augmentation supports flip_param/jitter_param only; "
+            f"config also has {sorted(extra)}")
+    return (RandomFlip(**(ap.get("flip_param") or {})),
+            ColorJitter(**(ap.get("jitter_param") or {})))
+
+
+def _sample_device_aug(flip, jitter):
+    """Draw per-clip augmentation decisions in the host pipeline's exact
+    coin order: time-flip coin, then (only if not taken) horizontal coin,
+    then the jitter factors."""
+    ft = 1 if (random.random() < 0.5 and flip.time_flip) else 0
+    fh = 0
+    if not ft:
+        fh = 1 if (random.random() < 0.5 and flip.horizontal_flip) else 0
+    return {
+        "flip_time": np.uint8(ft),
+        "flip_h": np.uint8(fh),
+        "jitter_factors": np.asarray(jitter.sample_factors(), np.float32),
+    }
+
+
 class AudioDataset:
     """LRW-layout dataset (ref:frames_dataset.py:75-194)."""
 
     def __init__(self, root_dir, frame_shape=(256, 256, 3), id_sampling=False,
                  is_train=True, random_seed=0, augmentation_params=None,
-                 video_list=None, name=None):
+                 video_list=None, name=None, device_augmentation=False):
         split_img = "train_fo" if is_train else "test_fo"
         split_audio = "train" if is_train else "test"
         self.image_dir = os.path.join(root_dir, "Image", split_img)
@@ -136,8 +181,14 @@ class AudioDataset:
             self.videos = _discover_clips(self.image_dir)
         self.is_train = is_train
         self.frame_hw = tuple(frame_shape[:2])
-        self.transform = (AllAugmentationTransform(**(augmentation_params or {}))
-                          if is_train else None)
+        self.device_aug = bool(device_augmentation) and is_train
+        if self.device_aug:
+            self.dev_samplers = _make_device_aug(augmentation_params)
+            self.transform = None
+        else:
+            self.transform = (
+                AllAugmentationTransform(**(augmentation_params or {}))
+                if is_train else None)
 
     def __len__(self):
         return len(self.videos)
@@ -157,16 +208,21 @@ class AudioDataset:
             poses.append(pose_all[r + ind, :-1])
         decoded = _read_frames(
             [os.path.join(path, f"{r + ind}.png") for ind in range(0, 17)],
-            hw=None)
+            hw=None, uint8=self.device_aug)
         example_image, video_array = decoded[0], decoded[1:]
         if self.transform is not None:
             video_array = np.asarray(self.transform(video_array))
-        return {
-            "example_image": example_image.astype(np.float32),
-            "driving": video_array.astype(np.float32),
+        sample = {
+            "example_image": example_image if self.device_aug
+            else example_image.astype(np.float32),
+            "driving": video_array if self.device_aug
+            else video_array.astype(np.float32),
             "driving_audio": np.array(mfccs, np.float32),
             "driving_pose": np.array(poses, np.float32),
         }
+        if self.device_aug:
+            sample.update(_sample_device_aug(*self.dev_samplers))
+        return sample
 
 
 class VoxDataset:
@@ -174,7 +230,8 @@ class VoxDataset:
 
     def __init__(self, root_dir, frame_shape=(256, 256, 3), id_sampling=False,
                  is_train=True, random_seed=0, pairs_list=None,
-                 augmentation_params=None, video_list=None, name=None):
+                 augmentation_params=None, video_list=None, name=None,
+                 device_augmentation=False):
         split_img = "train_fo" if is_train else "test_fo"
         split_audio = "train" if is_train else "test"
         self.image_dir = os.path.join(root_dir, "align_img", split_img)
@@ -188,8 +245,14 @@ class VoxDataset:
             self.videos = _discover_clips(self.image_dir)
         self.is_train = is_train
         self.frame_hw = tuple(frame_shape[:2])
-        self.transform = (AllAugmentationTransform(**(augmentation_params or {}))
-                          if is_train else None)
+        self.device_aug = bool(device_augmentation) and is_train
+        if self.device_aug:
+            self.dev_samplers = _make_device_aug(augmentation_params)
+            self.transform = None
+        else:
+            self.transform = (
+                AllAugmentationTransform(**(augmentation_params or {}))
+                if is_train else None)
 
     def __len__(self):
         return len(self.videos)
@@ -212,16 +275,21 @@ class VoxDataset:
             poses.append(pose[r + ind, :-1])
         decoded = _read_frames(
             [os.path.join(path, f"{r + ind}.png") for ind in range(0, 17)],
-            hw=None)
+            hw=None, uint8=self.device_aug)
         example_image, video_array = decoded[0], decoded[1:]
         if self.transform is not None:
             video_array = np.asarray(self.transform(video_array))
-        return {
-            "example_image": example_image.astype(np.float32),
-            "driving": video_array.astype(np.float32),
+        sample = {
+            "example_image": example_image if self.device_aug
+            else example_image.astype(np.float32),
+            "driving": video_array if self.device_aug
+            else video_array.astype(np.float32),
             "driving_audio": np.array(mfccs, np.float32),
             "driving_pose": np.array(poses, np.float32),
         }
+        if self.device_aug:
+            sample.update(_sample_device_aug(*self.dev_samplers))
+        return sample
 
 
 class MeadDataset:
@@ -235,7 +303,13 @@ class MeadDataset:
 
     def __init__(self, root_dir, frame_shape=(256, 256, 3), id_sampling=False,
                  is_train=True, random_seed=0, augmentation_params=None,
-                 video_list=None, neutral_dict=None, name=None):
+                 video_list=None, neutral_dict=None, name=None,
+                 device_augmentation=False):
+        if device_augmentation:
+            raise ValueError(
+                "device_augmentation is not supported for MEAD: the part-2 "
+                "pipeline needs geometric augmentations (mouth-mask/"
+                "rotation/perspective), which stay host-side")
         self.image_dir = os.path.join(root_dir, "MEAD_fomm_crop")
         self.audio_dir = os.path.join(root_dir, "MEAD_MFCC")
         self.pose_dir = os.path.join(root_dir, "MEAD_fomm_pose_crop")

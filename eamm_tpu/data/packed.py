@@ -141,16 +141,22 @@ def find_pack(dirname: str) -> str | None:
     return path if os.path.exists(path) else None
 
 
-def read_frames(pack_path: str, ids: list[int]) -> np.ndarray:
-    """[len(ids), h, w, c] float32 in [0,1] for the given frame ids."""
+def read_frames(pack_path: str, ids: list[int],
+                dtype=np.float32) -> np.ndarray:
+    """[len(ids), h, w, c] frames for the given ids: float32 in [0,1], or
+    raw bytes with ``dtype=np.uint8`` (a pure memmap copy — the
+    device-augmentation upload format)."""
     pack = _cache.get(pack_path)
     try:
         rows = [pack.index[int(i)] for i in ids]
     except KeyError as e:
         raise IOError(f"{pack_path}: frame id {e} not in pack") from None
+    raw = pack.pixels[rows]
+    if np.dtype(dtype) == np.uint8:
+        return np.asarray(raw)
     # multiply by the reciprocal — bit-identical to the native PNG
     # decoder's uint8->float convert (native/batch_loader.cc:65)
-    return np.asarray(pack.pixels[rows], np.float32) * np.float32(1.0 / 255.0)
+    return np.asarray(raw, np.float32) * np.float32(1.0 / 255.0)
 
 
 def frame_size(pack_path: str) -> tuple[int, int]:

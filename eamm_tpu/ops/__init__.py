@@ -5,3 +5,4 @@ from eamm_tpu.ops.mfcc import mfcc, mfcc_windows, audio_to_mfcc_windows
 from eamm_tpu.ops.filters import one_euro_filter
 from eamm_tpu.ops.motion import sparse_motions, normalize_kp, relative_kp
 from eamm_tpu.ops.colorspace import rgb_to_yuv420, yuv420_to_rgb
+from eamm_tpu.ops.augment import color_jitter, decode_and_augment

@@ -37,7 +37,8 @@ def build_dataset(config: dict, is_train: bool = True):
                        is_train=is_train,
                        augmentation_params=dp.pop("augmentation_params", {}),
                        **{k: v for k, v in dp.items()
-                          if k in ("video_list", "neutral_dict")})
+                          if k in ("video_list", "neutral_dict",
+                                   "device_augmentation")})
 
 
 def _example_batch_spec(batch):
@@ -135,8 +136,12 @@ def train(config: dict, mode: str, log_dir: str, checkpoint: str | None = None,
             params = {**state.frozen, **state.trainable}
             if "generator" not in params or "kp_detector" not in params:
                 return
-            src = jnp.asarray(batch_host["example_image"][:1])
-            drv = jnp.asarray(batch_host["driving"][:1, 0])
+            def as_f32(x):          # device-augmentation batches are uint8
+                x = np.asarray(x)
+                return x.astype(np.float32) / 255.0 \
+                    if x.dtype == np.uint8 else x
+            src = jnp.asarray(as_f32(batch_host["example_image"][:1]))
+            drv = jnp.asarray(as_f32(batch_host["driving"][:1, 0]))
             kp_s = models["kp_detector"].apply(
                 {"params": params["kp_detector"],
                  "batch_stats": state.batch_stats["kp_detector"]},

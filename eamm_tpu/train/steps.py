@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from eamm_tpu.ops.augment import decode_and_augment
 from eamm_tpu.train import losses as L
 
 
@@ -104,6 +105,7 @@ def init_part1_state(rng, models: dict, batch: dict, optimizer,
     make_discriminator_step); the generator step only reads it.
     """
     k1, k2, k3, k4 = jax.random.split(rng, 4)
+    batch = decode_and_augment(batch)
     ex, drv = batch["example_image"], batch["driving"]
     v_kp = models["kp_detector"].init(k1, ex, train=True)
     v_gen = models["generator"].init(
@@ -276,6 +278,7 @@ def make_part1_step(models: dict, train_params: dict,
     loss_fn = _make_part1_loss(models, train_params)
 
     def step(state: Part1State, batch: dict):
+        batch = decode_and_augment(batch)
         grads, (metrics, new_stats, _) = jax.grad(loss_fn, has_aux=True)(
             state.trainable, state.frozen, state.batch_stats, batch)
         updates, opt_state = optimizer.update(grads, state.opt_state,
@@ -307,6 +310,7 @@ def init_part1_gan_state(rng, models: dict, batch: dict, optimizer,
                          vgg_params: dict | None = None) -> Part1GanState:
     """Fine-tune state with trainable generator AND discriminator."""
     k1, k2 = jax.random.split(rng)
+    batch = decode_and_augment(batch)
     disc_scales = tuple(models["discriminator"].scales)
     ex = batch["example_image"]
     pyr = L.image_pyramid(ex, disc_scales)
@@ -337,6 +341,7 @@ def make_part1_gan_step(models: dict, train_params: dict, optimizer,
     disc_step = make_discriminator_step(models, train_params, disc_optimizer)
 
     def step(state: Part1GanState, batch: dict):
+        batch = decode_and_augment(batch)
         frozen = dict(state.frozen)
         frozen["discriminator"] = state.disc_params
         grads, (metrics, new_stats, gen_out) = jax.grad(
@@ -396,6 +401,7 @@ def make_discriminator_step(models: dict, train_params: dict,
         return loss, upd["batch_stats"]
 
     def step(disc_params, disc_stats, opt_state, batch, generated):
+        batch = decode_and_augment(batch)   # no-op for already-decoded
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(disc_params, disc_stats, batch, generated)
         updates, opt_state = optimizer.update(grads, opt_state, disc_params)
@@ -454,6 +460,7 @@ _HEAD_BY_TYPE = {
 def init_part2_state(rng, models: dict, batch: dict, optimizer,
                      part1_state: Part1State | None = None) -> Part2State:
     k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    batch = decode_and_augment(batch)
     ex = batch["example_image"]
     v_kp = models["kp_detector"].init(k1, ex, train=True)
     v_audio = models["audio_feature"].init(
@@ -551,6 +558,7 @@ def make_part2_step(models: dict, train_params: dict, optimizer) -> Callable:
         return total, (metrics, new_stats)
 
     def step(state: Part2State, batch: dict):
+        batch = decode_and_augment(batch)
         grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(
             state.trainable, state.frozen, state.batch_stats, batch)
         updates, opt_state = optimizer.update(grads, state.opt_state,

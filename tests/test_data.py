@@ -333,3 +333,49 @@ def test_dataloader_shard_partitions_batches():
     assert part0 == full[0::2] and part1 == full[1::2]
     with pytest.raises(ValueError):
         DataLoader(Idx(), batch_size=4, shard=(2, 2))
+
+
+def test_audio_dataset_device_augmentation(tmp_path):
+    """device_augmentation: uint8 streams + per-clip augmentation decisions
+    instead of host pixel math; device application == host pipeline."""
+    import random
+    import jax.numpy as jnp
+    from eamm_tpu.data.augmentation import AllAugmentationTransform
+    from eamm_tpu.ops.augment import decode_and_augment
+
+    rng = np.random.RandomState(5)
+    root = tmp_path / "lrw"
+    img = root / "Image" / "train_fo" / "W" / "c0"
+    mfcc = root / "MFCC" / "train" / "W" / "c0"
+    pose = root / "pose" / "train_fo" / "W"
+    for d in (img, mfcc, pose):
+        d.mkdir(parents=True)
+    for i in range(30):
+        _write_png(str(img / f"{i}.png"), rng)
+        np.save(str(mfcc / f"{i}.npy"), rng.randn(28, 13))
+    np.save(str(pose / "c0.npy"), rng.randn(30, 7))
+    aug = {"flip_param": {"horizontal_flip": True, "time_flip": False},
+           "jitter_param": {"brightness": 0.1, "contrast": 0.1,
+                            "saturation": 0.1, "hue": 0.1}}
+
+    dev_ds = AudioDataset(str(root), is_train=True, augmentation_params=aug,
+                          device_augmentation=True)
+    random.seed(3)
+    sample = dev_ds[0]
+    assert sample["driving"].dtype == np.uint8
+    assert sample["example_image"].dtype == np.uint8
+    assert sample["jitter_factors"].shape == (4,)
+
+    host_ds = AudioDataset(str(root), is_train=True, augmentation_params=aug)
+    random.seed(3)
+    host = host_ds[0]
+
+    batch = {k: jnp.asarray(np.asarray(v)[None])
+             for k, v in sample.items()}
+    dev = decode_and_augment(batch)
+    np.testing.assert_allclose(np.asarray(dev["driving"])[0],
+                               host["driving"], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dev["example_image"])[0],
+                               host["example_image"], atol=1e-6)
+    for k in ("driving_audio", "driving_pose"):
+        np.testing.assert_array_equal(sample[k], host[k])

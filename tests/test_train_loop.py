@@ -156,3 +156,20 @@ def test_train_loop_multi_step_dispatch(lrw_root, tmp_path):
     assert sorted(steps_arr.tolist()) == [1, 2, 3, 4]
     mgr = CheckpointManager(os.path.join(log_dir, "checkpoints"))
     assert mgr.latest_step() == 4
+
+
+def test_train_loop_device_augmentation(lrw_root, tmp_path):
+    """uint8 upload + on-device flip/jitter through the full loop."""
+    cfg = json.loads(json.dumps(SMALL_CONFIG))
+    cfg["dataset_params"]["root_dir"] = lrw_root
+    cfg["dataset_params"]["device_augmentation"] = True
+    cfg["dataset_params"]["augmentation_params"] = {
+        "flip_param": {"horizontal_flip": True, "time_flip": False},
+        "jitter_param": {"brightness": 0.1, "contrast": 0.1,
+                         "saturation": 0.1, "hue": 0.1}}
+    log_dir = str(tmp_path / "log")
+    state = train(cfg, "train_part1", log_dir, max_steps=2)
+    assert int(state.step) == 2
+    scalars = read_scalars(os.path.join(log_dir, "scalars.jsonl"))
+    _, vals = scalars["train/total"]
+    assert np.all(np.isfinite(vals))
