@@ -51,9 +51,48 @@ def build_synthetic_lrw(root: str, n_clips: int, frames: int = 30,
 JITTER = {"jitter_param": {"brightness": 0.1, "contrast": 0.1,
                            "saturation": 0.1, "hue": 0.1}}
 
+# the reference part-2 MEAD pipeline (ref:config/train_part2.yaml:6-22):
+# mouth noise-mask + flip + rotation + perspective homographies + jitter
+MEAD_AUG = {
+    "crop_mouth_param": {"center_x": 135, "center_y": 190,
+                         "mask_width": 100, "mask_height": 60},
+    "flip_param": {"horizontal_flip": True, "time_flip": False},
+    "rotation_param": {"degrees": 30},
+    "perspective_param": {"pers_num": 30, "enlarge_num": 40},
+    **JITTER,
+}
+
+
+def build_synthetic_mead(root: str, n_clips: int, frames: int = 30,
+                         size: int = 256) -> None:
+    """MEAD layout: MEAD_fomm_crop/<id>/<emotion_clip>/<N>.png +
+    MEAD_MFCC/<id>/<clip>.npy + MEAD_fomm_pose_crop/<id>/<clip>.npy
+    (see eamm_tpu/data/datasets.py MeadDataset)."""
+    import imageio.v2 as imageio
+    rng = np.random.RandomState(0)
+    emotions = ["angry", "happy", "neutral", "sad"]
+    for c in range(n_clips):
+        clip = f"M1/{emotions[c % len(emotions)]}_{c:03d}"
+        img = os.path.join(root, "MEAD_fomm_crop", clip)
+        os.makedirs(img, exist_ok=True)
+        base = rng.rand(size, size, 3) * 0.5
+        for i in range(frames):
+            frame = np.clip(base + 0.2 * rng.rand(size, size, 3), 0, 1)
+            imageio.imwrite(os.path.join(img, f"{i}.png"),
+                            (frame * 255).astype(np.uint8))
+        for sub in ("MEAD_MFCC", "MEAD_fomm_pose_crop"):
+            os.makedirs(os.path.join(root, sub, "M1"), exist_ok=True)
+        np.save(os.path.join(root, "MEAD_MFCC", clip + ".npy"),
+                rng.randn(frames, 28, 13))
+        np.save(os.path.join(root, "MEAD_fomm_pose_crop", clip + ".npy"),
+                rng.randn(frames, 7))
+    # ensure at least one neutral clip per identity for the reference frame
+    assert any("neutral" in e for e in emotions[:min(n_clips, 4)])
+
 
 def bench(mode: str, root: str, batch_size: int, steps: int,
           num_workers: int) -> None:
+    """One loader variant in a fresh process; prints one JSON line."""
     from eamm_tpu.data import native as native_mod
     from eamm_tpu.data.datasets import AudioDataset, DatasetRepeater, DataLoader
     if mode == "imageio":
@@ -68,12 +107,21 @@ def bench(mode: str, root: str, batch_size: int, steps: int,
             return
     # host_jitter: reference-style host ColorJitter (part1 config jitter);
     # device_aug: uint8 upload + factors, the per-pixel math moves on-chip
-    kwargs = {}
-    if mode.endswith("host_jitter"):
-        kwargs = {"augmentation_params": JITTER}
-    elif mode.endswith("device_aug"):
-        kwargs = {"augmentation_params": JITTER, "device_augmentation": True}
-    ds = DatasetRepeater(AudioDataset(root, is_train=True, **kwargs), 100000)
+    if mode.startswith("mead"):
+        from eamm_tpu.data.datasets import MeadDataset
+        kwargs = {"augmentation_params": MEAD_AUG,
+                  "device_augmentation": mode.endswith("device_aug")}
+        ds = DatasetRepeater(MeadDataset(root, is_train=True, **kwargs),
+                             100000)
+    else:
+        kwargs = {}
+        if mode.endswith("host_jitter"):
+            kwargs = {"augmentation_params": JITTER}
+        elif mode.endswith("device_aug"):
+            kwargs = {"augmentation_params": JITTER,
+                      "device_augmentation": True}
+        ds = DatasetRepeater(AudioDataset(root, is_train=True, **kwargs),
+                             100000)
     loader = DataLoader(ds, batch_size=batch_size, num_workers=num_workers,
                         prefetch=2)
     it = iter(loader)
@@ -112,10 +160,11 @@ def main():
         # run first).
         import subprocess
 
-        def run_mode(mode):
+        def run_mode(mode, root=root, steps=steps, batch_size=6):
             subprocess.run([sys.executable, os.path.abspath(__file__),
                             "--mode", mode, "--root", root,
                             "--steps", str(steps),
+                            "--batch_size", str(batch_size),
                             "--workers", str(workers)], check=True)
 
         for mode in ("native", "imageio"):
@@ -127,6 +176,19 @@ def main():
         pack_tree(os.path.join(root, "Image"))
         for mode in ("packed", "packed_host_jitter", "packed_device_aug"):
             run_mode(mode)
+    # MEAD part-2 (bs 16, ref:config/train_part2.yaml:68): host pipeline
+    # pays per-frame numpy homography warps; device_aug uploads the clean
+    # uint8 stream + tiny decision arrays and warps on-chip.  The host
+    # mode is run for very few steps — it is ~2 orders slower.
+    with tempfile.TemporaryDirectory() as root:
+        print(f"building synthetic MEAD layout ({n_clips} clips)...",
+              file=sys.stderr)
+        build_synthetic_mead(root, n_clips)
+        from eamm_tpu.data.packed import pack_tree
+        pack_tree(os.path.join(root, "MEAD_fomm_crop"))
+        run_mode("mead_host", root=root, batch_size=16,
+                 steps=max(2, steps // 10))
+        run_mode("mead_device_aug", root=root, batch_size=16, steps=steps)
 
 
 if __name__ == "__main__":
@@ -136,9 +198,10 @@ if __name__ == "__main__":
         ap.add_argument("--mode", required=True)
         ap.add_argument("--root", required=True)
         ap.add_argument("--steps", type=int, default=20)
+        ap.add_argument("--batch_size", type=int, default=6)
         ap.add_argument("--workers", type=int, default=1)
         a = ap.parse_args()
-        bench(a.mode, a.root, batch_size=6, steps=a.steps,
+        bench(a.mode, a.root, batch_size=a.batch_size, steps=a.steps,
               num_workers=a.workers)
     else:
         main()

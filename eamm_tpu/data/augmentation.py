@@ -79,16 +79,25 @@ class MouthCrop:
         self.center_x, self.center_y = center_x, center_y
         self.mask_width, self.mask_height = mask_width, mask_height
 
+    @property
+    def rect(self):
+        """(y0, x0) of the masked rectangle."""
+        return (self.center_y - self.mask_height // 2,
+                self.center_x - self.mask_width // 2)
+
+    def sample_noise(self, num_frames):
+        """The per-frame noise blocks.  One vectorized draw: MT19937 fills
+        the output in C order, so this consumes the stream exactly like
+        ``num_frames`` sequential ``rand(h, w, 3)`` calls."""
+        return np.random.rand(num_frames, self.mask_height,
+                              self.mask_width, 3)
+
     def __call__(self, clip):
-        x0 = self.center_x - self.mask_width // 2
-        y0 = self.center_y - self.mask_height // 2
-        out = []
-        for img in clip:
-            img = np.array(img, copy=True)
-            img[y0:y0 + self.mask_height, x0:x0 + self.mask_width, :] = \
-                np.random.rand(self.mask_height, self.mask_width, 3)
-            out.append(img)
-        return np.array(out)
+        y0, x0 = self.rect
+        noise = self.sample_noise(len(clip))
+        out = np.array(clip, copy=True)
+        out[:, y0:y0 + self.mask_height, x0:x0 + self.mask_width, :] = noise
+        return out
 
 
 class RandomFlip:
@@ -114,16 +123,20 @@ class RandomRotation:
             degrees = (-degrees, degrees)
         self.degrees = degrees
 
-    def __call__(self, clip):
+    def sample_matrix(self, h, w):
+        """Draw one clip rotation and return its 3x3 homography."""
         angle = random.uniform(*self.degrees)
         theta = np.deg2rad(angle)
-        h, w = clip[0].shape[:2]
         cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
         # skimage rotate: counter-clockwise in image coordinates
         c, s = np.cos(theta), np.sin(theta)
-        M = np.array([[c, -s, cx - c * cx + s * cy],
-                      [s, c, cy - s * cx - c * cy],
-                      [0, 0, 1]])
+        return np.array([[c, -s, cx - c * cx + s * cy],
+                         [s, c, cy - s * cx - c * cy],
+                         [0, 0, 1]])
+
+    def __call__(self, clip):
+        h, w = clip[0].shape[:2]
+        M = self.sample_matrix(h, w)
         return np.array([warp_homography(img, M, (h, w), "constant")
                          for img in clip])
 
@@ -136,18 +149,22 @@ class RandomPerspective:
         self.pers_num = pers_num
         self.enlarge_num = enlarge_num
 
+    def sample_matrix(self, h, w):
+        """Draw one frame's perspective params and return the homography
+        (__call__'s exact np.random order)."""
+        pers = np.random.randint(20, self.pers_num) * (-1) ** np.random.randint(2)
+        enl = np.random.randint(20, self.enlarge_num) * (-1) ** np.random.randint(2)
+        src = np.array([[-enl, -enl], [-enl, w + enl],
+                        [h + enl, -enl], [h + enl, w + enl]], np.float64)
+        dst = np.array([[-enl, -enl], [-enl + pers, w + enl],
+                        [h + enl, -enl], [h + enl - pers, w + enl]],
+                       np.float64)
+        return perspective_matrix(src, dst)
+
     def __call__(self, clip):
         out = []
         for img in clip:
-            pers = np.random.randint(20, self.pers_num) * (-1) ** np.random.randint(2)
-            enl = np.random.randint(20, self.enlarge_num) * (-1) ** np.random.randint(2)
-            h, w = img.shape[:2]
-            src = np.array([[-enl, -enl], [-enl, w + enl],
-                            [h + enl, -enl], [h + enl, w + enl]], np.float64)
-            dst = np.array([[-enl, -enl], [-enl + pers, w + enl],
-                            [h + enl, -enl], [h + enl - pers, w + enl]],
-                           np.float64)
-            M = perspective_matrix(src, dst)
+            M = self.sample_matrix(*img.shape[:2])
             out.append(warp_homography(img, M, (256, 256), "replicate"))
         return np.array(out)
 

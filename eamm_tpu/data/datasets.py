@@ -34,7 +34,7 @@ import threading
 import numpy as np
 
 from eamm_tpu.data.augmentation import AllAugmentationTransform
-from eamm_tpu.ops.filters import one_euro_filter
+from eamm_tpu.ops.filters import one_euro_filter_np
 
 # demo.py's emotion vocabulary, in its documented order (ref:demo.py:557)
 EMOTIONS = ("angry", "contempt", "disgusted", "fear", "happy", "neutral",
@@ -161,6 +161,65 @@ def _sample_device_aug(flip, jitter):
         "flip_h": np.uint8(fh),
         "jitter_factors": np.asarray(jitter.sample_factors(), np.float32),
     }
+
+
+def _make_mead_device_aug(augmentation_params):
+    """Device-expressible MEAD part-2 pipeline: mouth-mask + flip +
+    rotation + perspective + jitter (the reference MEAD config's exact
+    set, ref:config/train_part2.yaml:6-22).  Resize/crop are not device-
+    supported."""
+    from eamm_tpu.data.augmentation import (ColorJitter, MouthCrop,
+                                            RandomFlip, RandomPerspective,
+                                            RandomRotation)
+    ap = augmentation_params or {}
+    supported = {"crop_mouth_param", "flip_param", "rotation_param",
+                 "perspective_param", "jitter_param"}
+    extra = {k for k, v in ap.items() if v is not None} - supported
+    if extra:
+        raise ValueError(
+            "device_augmentation (MEAD) supports mouth/flip/rotation/"
+            f"perspective/jitter only; config also has {sorted(extra)}")
+    return {
+        "mouth": MouthCrop(**ap["crop_mouth_param"])
+        if ap.get("crop_mouth_param") else None,
+        "flip": RandomFlip(**(ap.get("flip_param") or {})),
+        "rot": RandomRotation(**ap["rotation_param"])
+        if ap.get("rotation_param") else None,
+        "pers": RandomPerspective(**ap["perspective_param"])
+        if ap.get("perspective_param") else None,
+        "jitter": ColorJitter(**(ap.get("jitter_param") or {})),
+    }
+
+
+def _sample_mead_device_aug(samplers, num_frames, h, w):
+    """Per-clip decisions for the device MEAD pipeline, drawn in
+    AllAugmentationTransform's exact order (mouth noise -> flip coins ->
+    rotation angle -> per-frame perspective -> jitter factors) so a
+    seeded host run and a seeded device run see the same RNG stream."""
+    keys = {}
+    if samplers["mouth"] is not None:
+        noise = samplers["mouth"].sample_noise(num_frames)
+        keys["tdrv_mouth_noise"] = np.clip(
+            np.rint(noise * 255.0), 0, 255).astype(np.uint8)
+        keys["tdrv_mouth_rect"] = np.asarray(samplers["mouth"].rect,
+                                             np.int32)
+    ft = 1 if (random.random() < 0.5 and samplers["flip"].time_flip) else 0
+    fh = 0
+    if not ft:
+        fh = 1 if (random.random() < 0.5
+                   and samplers["flip"].horizontal_flip) else 0
+    keys["tdrv_flip_time"] = np.uint8(ft)
+    keys["tdrv_flip_h"] = np.uint8(fh)
+    if samplers["rot"] is not None:
+        M = samplers["rot"].sample_matrix(h, w)
+        keys["tdrv_rot_minv"] = np.linalg.inv(M).astype(np.float32)
+    if samplers["pers"] is not None:
+        keys["tdrv_pers_minv"] = np.asarray(
+            [np.linalg.inv(samplers["pers"].sample_matrix(h, w))
+             for _ in range(num_frames)], np.float32)
+    keys["tdrv_jitter"] = np.asarray(samplers["jitter"].sample_factors(),
+                                     np.float32)
+    return keys
 
 
 class AudioDataset:
@@ -305,11 +364,6 @@ class MeadDataset:
                  is_train=True, random_seed=0, augmentation_params=None,
                  video_list=None, neutral_dict=None, name=None,
                  device_augmentation=False):
-        if device_augmentation:
-            raise ValueError(
-                "device_augmentation is not supported for MEAD: the part-2 "
-                "pipeline needs geometric augmentations (mouth-mask/"
-                "rotation/perspective), which stay host-side")
         self.image_dir = os.path.join(root_dir, "MEAD_fomm_crop")
         self.audio_dir = os.path.join(root_dir, "MEAD_MFCC")
         self.pose_dir = os.path.join(root_dir, "MEAD_fomm_pose_crop")
@@ -326,7 +380,13 @@ class MeadDataset:
             self.neutral = dict(neutral_dict)
         self.is_train = is_train
         self.frame_hw = tuple(frame_shape[:2])
-        self.transform = AllAugmentationTransform(**(augmentation_params or {}))
+        self.device_aug = bool(device_augmentation)
+        if self.device_aug:
+            self.dev_samplers = _make_mead_device_aug(augmentation_params)
+            self.transform = None
+        else:
+            self.transform = AllAugmentationTransform(
+                **(augmentation_params or {}))
 
     def _build_neutral_dict(self):
         """identity -> list of neutral clip paths, discovered from names."""
@@ -357,10 +417,10 @@ class MeadDataset:
 
         mfcc = np.load(os.path.join(self.audio_dir, name + ".npy"))
         pose_raw = np.load(os.path.join(self.pose_dir, name + ".npy"))
-        # one-euro smoothing of raw pose (ref:frames_dataset.py:402-406)
-        import jax.numpy as jnp
-        pose = np.asarray(one_euro_filter(jnp.asarray(pose_raw),
-                                          mincutoff=0.01, beta=0.7, freq=100))
+        # one-euro smoothing of raw pose (ref:frames_dataset.py:402-406) —
+        # host numpy: loader workers must never issue device dispatches
+        pose = one_euro_filter_np(pose_raw, mincutoff=0.01, beta=0.7,
+                                  freq=100)
 
         from eamm_tpu.data import packed
         neu_pack = packed.find_pack(neu_path)
@@ -379,17 +439,29 @@ class MeadDataset:
             poses.append(pose[r + ind, :-1])
         decoded = _read_frames(
             [neu_file] + [os.path.join(path, f"{r + ind}.png")
-                          for ind in range(1, 17)], hw=None)
+                          for ind in range(1, 17)], hw=None,
+            uint8=self.device_aug)
         example_image, video_array = decoded[0], decoded[1:]
-        transformed = np.asarray(self.transform(np.array(video_array)))
-        return {
-            "example_image": example_image.astype(np.float32),
-            "driving": video_array.astype(np.float32),
-            "transformed_driving": transformed.astype(np.float32),
+        sample = {
             "driving_audio": np.array(mfccs, np.float32),
             "driving_pose": np.array(poses, np.float32),
             "emotion": np.int32(self.emotion_label(name)),
         }
+        if self.device_aug:
+            # transformed_driving is built ON DEVICE from the clean stream
+            # (ops.augment._apply_mead_augmentation) — it never crosses the
+            # host link; only the tiny tdrv_* decision arrays do
+            sample["example_image"] = example_image
+            sample["driving"] = video_array
+            T, h, w = video_array.shape[:3]
+            sample.update(_sample_mead_device_aug(self.dev_samplers,
+                                                  T, h, w))
+        else:
+            transformed = np.asarray(self.transform(np.array(video_array)))
+            sample["example_image"] = example_image.astype(np.float32)
+            sample["driving"] = video_array.astype(np.float32)
+            sample["transformed_driving"] = transformed.astype(np.float32)
+        return sample
 
 
 class DatasetRepeater:

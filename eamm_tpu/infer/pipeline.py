@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from eamm_tpu import config as cfg
 from eamm_tpu.ops.mfcc import (audio_to_mfcc_windows, num_windows_for_samples,
                                min_samples_for_windows)
-from eamm_tpu.ops.filters import one_euro_filter
+from eamm_tpu.ops.filters import one_euro_filter, one_euro_filter_np
 from eamm_tpu.ops.motion import normalize_kp, convex_hull_area
 from eamm_tpu.ops.colorspace import rgb_to_yuv420, yuv420_to_rgb
 from eamm_tpu.utils.transfer import fetch_parallel
@@ -632,8 +632,10 @@ class EammPipeline:
         if len(pose) == 1:
             pose = np.repeat(pose, 100, 0)
         elif self.options.smooth_pose:
-            pose = np.asarray(one_euro_filter(
-                jnp.asarray(pose), mincutoff=0.004, beta=0.7, freq=100))
+            # host numpy: a device dispatch for a [T,6] filter would cost a
+            # tunnel round trip on every render call
+            pose = one_euro_filter_np(pose, mincutoff=0.004, beta=0.7,
+                                      freq=100)
         if len(pose) < T:
             gap = T - len(pose)
             n = int(gap / len(pose) / 2) + 2

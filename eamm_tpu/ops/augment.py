@@ -19,6 +19,7 @@ the per-frame mean -> saturation about ITU-R 601 luma -> YIQ hue rotation
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 # ITU-R 601 luma weights and the RGB->YIQ basis (ref ColorJitter/_shift_hue)
@@ -99,4 +100,75 @@ def decode_and_augment(batch: dict) -> dict:
         bc = (slice(None),) + (None,) * (d.ndim - 1)
         out["driving"] = color_jitter(d, fac[:, 0][bc], fac[:, 1][bc],
                                       fac[:, 2][bc], fac[:, 3][bc])
+    return _apply_mead_augmentation(out)
+
+
+def warp_homography_frames(frames, minv, padding_mode: str):
+    """Warp [B, T, H, W, C] frames by per-frame homographies.
+
+    minv: [B, T, 3, 3] or [B, 1, 3, 3] DST->SRC matrices (the host passes
+    ``inv(M)`` precomputed in f64, matching
+    ``data.augmentation.warp_homography``'s cv2 convention).
+    padding_mode: 'zeros' (constant-0 border) | 'border' (replicate).
+    Dispatches through ``ops.warp.grid_sample``, i.e. the gather-free
+    tent-matmul / patch-table fast paths apply.
+    """
+    from eamm_tpu.ops.warp import grid_sample
+    B, T, H, W, C = frames.shape
+    m = jnp.broadcast_to(minv, (B, T, 3, 3)).reshape(B * T, 3, 3)
+    m = m.astype(frames.dtype)
+    f = frames.reshape(B * T, H, W, C)
+    xs = jnp.arange(W, dtype=frames.dtype)
+    ys = jnp.arange(H, dtype=frames.dtype)
+    X, Y = jnp.meshgrid(xs, ys)                       # [H, W]
+    pts = jnp.stack([X, Y, jnp.ones_like(X)], 0).reshape(3, -1)   # [3, HW]
+    src = jnp.einsum("nij,jp->nip", m, pts)           # [N, 3, HW]
+    sx = src[:, 0] / src[:, 2]
+    sy = src[:, 1] / src[:, 2]
+    # pixel coords -> align_corners=True normalized coords
+    gx = (2.0 * sx / (W - 1) - 1.0).reshape(B * T, H, W)
+    gy = (2.0 * sy / (H - 1) - 1.0).reshape(B * T, H, W)
+    grid = jnp.stack([gx, gy], -1)
+    out = grid_sample(f, grid, padding_mode=padding_mode,
+                      align_corners=True)
+    return out.reshape(B, T, H, W, C)
+
+
+def _apply_mead_augmentation(out: dict) -> dict:
+    """Build ``transformed_driving`` on device from the clean ``driving``
+    stream + per-clip decisions (``tdrv_*`` keys), in the host pipeline's
+    fixed order: mouth-noise -> flip -> rotation -> perspective -> jitter
+    (ref:augmentation.py:408-430).  The transformed stream never crosses
+    the host link at all — only the tiny decision arrays do."""
+    tdrv = {k: out.pop(k) for k in list(out) if k.startswith("tdrv_")}
+    if not tdrv:
+        return out
+    x = out["driving"]
+    noise = tdrv.get("tdrv_mouth_noise")
+    if noise is not None:
+        rect = tdrv["tdrv_mouth_rect"]                # [B, 2] = (y0, x0)
+        nf = noise.astype(x.dtype) * jnp.asarray(1.0 / 255.0, x.dtype)
+
+        def put(frames, block, yx):
+            return jax.lax.dynamic_update_slice(
+                frames, block, (0, yx[0], yx[1], 0))
+
+        x = jax.vmap(put)(x, nf, rect)
+    ft, fh = tdrv.get("tdrv_flip_time"), tdrv.get("tdrv_flip_h")
+    if ft is not None:
+        bc = (slice(None),) + (None,) * (x.ndim - 1)
+        x = jnp.where(ft[bc] > 0, x[:, ::-1], x)
+        x = jnp.where(fh[bc] > 0, x[..., ::-1, :], x)
+    rot = tdrv.get("tdrv_rot_minv")                   # [B, 3, 3]
+    if rot is not None:
+        x = warp_homography_frames(x, rot[:, None], "zeros")
+    pers = tdrv.get("tdrv_pers_minv")                 # [B, T, 3, 3]
+    if pers is not None:
+        x = warp_homography_frames(x, pers, "border")
+    fac = tdrv.get("tdrv_jitter")
+    if fac is not None:
+        bc = (slice(None),) + (None,) * (x.ndim - 1)
+        x = color_jitter(x, fac[:, 0][bc], fac[:, 1][bc],
+                         fac[:, 2][bc], fac[:, 3][bc])
+    out["transformed_driving"] = x
     return out

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _alpha(cutoff, freq):
@@ -51,3 +52,35 @@ def one_euro_filter(x: jnp.ndarray, *, mincutoff: float = 1.0, beta: float = 0.0
     zeros = jnp.zeros_like(xs[0])
     (_, _, _, _), ys = jax.lax.scan(step, (zeros, zeros, zeros, started0), xs)
     return ys / scale
+
+
+def one_euro_filter_np(x: np.ndarray, *, mincutoff: float = 1.0,
+                       beta: float = 0.0, dcutoff: float = 1.0,
+                       freq: float = 30.0, scale: float = 1.0) -> np.ndarray:
+    """Host (pure numpy) ``one_euro_filter`` — same semantics, for use in
+    data-loading code that must never touch the device (a per-sample jax
+    dispatch from a loader worker costs a tunnel round trip and couples
+    CPU-side input prep to device availability)."""
+    x = np.asarray(x, np.float64)
+    xs = x * scale
+    te = 1.0 / freq
+
+    def alpha(cutoff):
+        return 1.0 / (1.0 + 1.0 / (2.0 * np.pi * cutoff * te))
+
+    d_alpha = alpha(dcutoff)
+    ys = np.empty_like(xs)
+    prev_raw = prev_filt = prev_dfilt = None
+    for t in range(xs.shape[0]):
+        xt = xs[t]
+        if prev_raw is None:
+            edx = np.zeros_like(xt)
+            s = xt
+        else:
+            dx = (xt - prev_raw) * freq
+            edx = d_alpha * dx + (1.0 - d_alpha) * prev_dfilt
+            a = alpha(mincutoff + beta * np.abs(edx))
+            s = a * xt + (1.0 - a) * prev_filt
+        prev_raw, prev_filt, prev_dfilt = xt, s, edx
+        ys[t] = s
+    return (ys / scale).astype(x.dtype)

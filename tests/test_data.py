@@ -66,7 +66,7 @@ def test_full_transform_pipeline():
         crop_mouth_param=dict(center_x=135, center_y=190, mask_width=100,
                               mask_height=60),
         rotation_param=dict(degrees=30),
-        perspective_param=dict(pers_num=30, enlarge_num=40),
+        perspective_param=dict(pers_num=21, enlarge_num=21),
         flip_param=dict(horizontal_flip=True, time_flip=False),
         jitter_param=dict(brightness=0, contrast=0, saturation=0, hue=0))
     out = np.asarray(t(clip))
@@ -379,3 +379,31 @@ def test_audio_dataset_device_augmentation(tmp_path):
                                host["example_image"], atol=1e-6)
     for k in ("driving_audio", "driving_pose"):
         np.testing.assert_array_equal(sample[k], host[k])
+
+
+def test_mead_dataset_device_augmentation(mead_root):
+    ds = MeadDataset(mead_root, device_augmentation=True,
+                     augmentation_params=dict(
+                         crop_mouth_param=dict(center_x=30, center_y=40,
+                                               mask_width=10, mask_height=6),
+                         rotation_param=dict(degrees=30),
+                         perspective_param=dict(pers_num=21, enlarge_num=21),
+                         flip_param=dict(horizontal_flip=True),
+                         jitter_param=dict(brightness=0.1)))
+    s = ds[0]
+    assert "transformed_driving" not in s
+    assert s["driving"].dtype == np.uint8
+    assert s["example_image"].dtype == np.uint8
+    assert s["tdrv_mouth_noise"].shape == (16, 6, 10, 3)
+    assert tuple(s["tdrv_mouth_rect"]) == (40 - 3, 30 - 5)
+    assert s["tdrv_rot_minv"].shape == (3, 3)
+    assert s["tdrv_pers_minv"].shape == (16, 3, 3)
+    assert s["tdrv_jitter"].shape == (4,)
+    # device application yields both streams at full shape
+    import jax.numpy as jnp
+    from eamm_tpu.ops.augment import decode_and_augment
+    batch = {k: jnp.asarray(np.asarray(v)[None]) for k, v in s.items()}
+    out = decode_and_augment(batch)
+    assert out["driving"].shape == (1, 16, 64, 64, 3)
+    assert out["transformed_driving"].shape == (1, 16, 64, 64, 3)
+    assert np.isfinite(np.asarray(out["transformed_driving"])).all()

@@ -97,3 +97,51 @@ def test_device_aug_rejects_geometric_params():
     with pytest.raises(ValueError, match="flip_param/jitter_param"):
         _make_device_aug({"rotation_param": {"degrees": 30},
                           "jitter_param": {"brightness": 0.1}})
+
+
+MEAD_AUG = {
+    "crop_mouth_param": {"center_x": 135, "center_y": 190,
+                         "mask_width": 100, "mask_height": 60},
+    "flip_param": {"horizontal_flip": True, "time_flip": True},
+    "rotation_param": {"degrees": 30},
+    "perspective_param": {"pers_num": 30, "enlarge_num": 40},
+    "jitter_param": {"brightness": 0.1, "contrast": 0.1,
+                     "saturation": 0.1, "hue": 0.1},
+}
+
+
+def test_mead_device_pipeline_matches_host():
+    """Same RNG stream: host MEAD pipeline (mouth-mask -> flip -> rotation
+    -> perspective -> jitter) == device construction of transformed_driving
+    from the clean uint8 stream + sampled decisions.  Differences: uint8
+    noise quantization (1/510) and f32 warp coordinates vs f64."""
+    import random as pyrandom
+    from eamm_tpu.data.datasets import (_make_mead_device_aug,
+                                        _sample_mead_device_aug)
+
+    rng = np.random.RandomState(7)
+    frames_u8 = rng.randint(0, 256, (4, 256, 256, 3), np.uint8)
+    frames = frames_u8.astype(np.float32) / 255.0
+
+    for seed in range(4):
+        pyrandom.seed(seed)
+        np.random.seed(seed)
+        host = AllAugmentationTransform(**MEAD_AUG)(frames)
+
+        pyrandom.seed(seed)
+        np.random.seed(seed)
+        samplers = _make_mead_device_aug(MEAD_AUG)
+        dec = _sample_mead_device_aug(samplers, 4, 256, 256)
+        batch = {"driving": jnp.asarray(frames_u8[None])}
+        batch.update({k: jnp.asarray(np.asarray(v)[None])
+                      for k, v in dec.items()})
+        out = decode_and_augment(batch)
+        dev = np.asarray(out["transformed_driving"])[0]
+        # driving itself stays clean
+        np.testing.assert_allclose(np.asarray(out["driving"])[0], frames)
+        host = np.asarray(host, np.float32)
+        assert dev.shape == host.shape
+        err = np.abs(dev - host)
+        assert err.mean() < 2e-3, (seed, err.mean())
+        assert np.percentile(err, 99.9) < 0.03, (seed,
+                                                 np.percentile(err, 99.9))

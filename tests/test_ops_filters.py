@@ -69,3 +69,21 @@ def test_one_euro_audio_kp_settings():
 def test_one_euro_emotion_settings():
     # emotion displacements: x100 scaling (ref:demo.py:231-238)
     _run_case(mincutoff=1.0, beta=0.2, freq=100, scale=100.0, shape=(25, 4, 2))
+
+
+def test_one_euro_np_matches_scan():
+    """Host numpy variant (used by data loaders / pose prep, which must
+    never dispatch to the device) == the lax.scan op at every setting."""
+    from eamm_tpu.ops.filters import one_euro_filter, one_euro_filter_np
+    rng = np.random.RandomState(3)
+    for kw, shape in [
+            (dict(mincutoff=0.01, beta=0.7, freq=100), (30, 7)),
+            (dict(mincutoff=0.004, beta=0.7, freq=100), (25, 6)),
+            (dict(mincutoff=0.05, beta=8.0, freq=100, scale=10.0),
+             (25, 10, 2)),
+            (dict(mincutoff=1.0, beta=0.2, freq=100, scale=100.0),
+             (25, 4, 2))]:
+        x = rng.randn(*shape).astype(np.float32)
+        dev = np.asarray(one_euro_filter(jnp.asarray(x), **kw))
+        host = one_euro_filter_np(x, **kw)
+        np.testing.assert_allclose(host, dev, atol=2e-5, rtol=2e-5)

@@ -53,3 +53,29 @@ def test_part2_loop(mead_root, tmp_path):
     scalars_path = os.path.join(log_dir, "scalars.jsonl")
     text = open(scalars_path).read()
     assert "loss_classify" in text and "loss_smooth" in text
+
+
+def test_part2_loop_device_augmentation(mead_root, tmp_path):
+    """Full MEAD pipeline with transformed_driving built on device."""
+    cfg = json.loads(json.dumps(SMALL_CONFIG))
+    cfg["dataset_params"].update({
+        "name": "MEAD", "root_dir": mead_root,
+        "device_augmentation": True,
+        "augmentation_params": {
+            "crop_mouth_param": {"center_x": 135, "center_y": 190,
+                                 "mask_width": 100, "mask_height": 60},
+            "rotation_param": {"degrees": 30},
+            "perspective_param": {"pers_num": 30, "enlarge_num": 40},
+            "flip_param": {"horizontal_flip": True, "time_flip": False},
+            "jitter_param": {"brightness": 0.1, "contrast": 0.1,
+                             "saturation": 0.1, "hue": 0.1},
+        }})
+    cfg["train_params"].update({"type": "linear_4", "classify": True,
+                                "loss_weights": {
+                                    **cfg["train_params"]["loss_weights"],
+                                    "emo": 10}})
+    log_dir = str(tmp_path / "log")
+    state = train(cfg, "train_part2", log_dir, max_steps=1)
+    assert int(state.step) == 1
+    text = open(os.path.join(log_dir, "scalars.jsonl")).read()
+    assert "loss_classify" in text
