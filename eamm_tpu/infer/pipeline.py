@@ -748,6 +748,53 @@ class EammPipeline:
             out.append(seg[:keep])
         return np.concatenate(out, axis=0)
 
+    def render_stream(self, source_image, waveform, all_pose,
+                      transformed_video=None, add_emo=None):
+        """Segment-streaming render: a generator yielding
+        ``(start_frame, payload)`` in clip order as each segment finishes,
+        where payload is uint8 RGB ``[k, 256, 256, 3]`` frames (or
+        ``(y, u, v)`` yuv420p planes with ``transfer_format='yuv420'``).
+
+        Same dispatch structure as the pipelined whole-clip path — the kp
+        stage, then every render segment issued back-to-back before any
+        fetch — so total throughput matches ``render_uint8``, but the first
+        segment is delivered after one segment's compute + fetch instead of
+        the whole clip's: time-to-first-frame drops by ~(S-1)/S.  The
+        reference has no streaming story at all (whole mp4 written at the
+        end, ref:demo.py:477-515).  Concatenating the payloads equals the
+        non-streaming result exactly.
+        """
+        o = self.options
+        if o.adapt_scale:
+            raise ValueError("render_stream does not support adapt_scale "
+                             "(its convex-hull scale is a host round trip)")
+        add_emo = o.add_emo if add_emo is None else add_emo
+        T, args = self._prepare_full_render_args(
+            source_image, waveform, all_pose, transformed_video, add_emo)
+        src = args[0]
+        kv, kj, kp_s, feats = self._kp_stage(self.vars, *args,
+                                             add_emo=add_emo)
+        S = max(1, o.overlap_segments)
+        Tp = kv.shape[0]
+        Tseg = Tp // S
+        segs = [self._render_segment(self.vars, src, feats, kp_s, kv, kj,
+                                     jnp.int32(i), Tseg)
+                for i in range(S)]
+        yuv = o.transfer_format == "yuv420"
+        ns = max(1, o.fetch_streams)
+        ny = max(1, (2 * ns) // 3) if yuv else ns
+        for i, parts in enumerate(segs):
+            keep = min(Tseg, max(0, T - i * Tseg))
+            if keep <= 0:
+                break
+            fetched = fetch_parallel(parts)
+            if yuv:
+                y = np.concatenate(fetched[:ny], axis=0)[:keep]
+                yield i * Tseg, (y, fetched[ny][:keep],
+                                 fetched[ny + 1][:keep])
+            else:
+                yield i * Tseg, np.concatenate(fetched, axis=0)[:keep]
+
     def _render_rgb_uint8(self, source_image, waveform, all_pose,
                           transformed_video=None, add_emo=None) -> np.ndarray:
         o = self.options

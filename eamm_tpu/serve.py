@@ -41,10 +41,20 @@ class _Request:
     future: Future
     t_enqueue: float
     transformed: np.ndarray | None = None   # emotion frames (add_emo)
+    stream_q: queue.Queue | None = None     # segment queue (submit_stream)
 
     @property
     def emotional(self) -> bool:
         return self.transformed is not None
+
+    @property
+    def singleton(self) -> bool:
+        """Dispatched alone: emotional (per-request trunk state) and
+        streaming (per-request delivery cadence) requests don't coalesce."""
+        return self.emotional or self.stream_q is not None
+
+
+_STREAM_END = object()
 
 
 class RenderServer:
@@ -110,6 +120,39 @@ class RenderServer:
         return self.submit(source_image, waveform, pose,
                            transformed_video).result(timeout)
 
+    def submit_stream(self, source_image, waveform, pose,
+                      transformed_video=None):
+        """Streaming request: returns an iterator over ``(start_frame,
+        payload)`` segments, delivered in clip order as the chip renders
+        them (``EammPipeline.render_stream``).  The first segment arrives
+        after ~1/overlap_segments of the clip's work — the low-latency
+        path for live playback.  Streamed requests dispatch as singletons
+        (their delivery cadence can't share a coalesced batch)."""
+        if self._stop.is_set():
+            raise RuntimeError("server stopped")
+        from eamm_tpu.ops.mfcc import num_windows_for_samples
+        frames = num_windows_for_samples(len(waveform))
+        req = _Request(np.asarray(source_image, np.float32),
+                       np.asarray(waveform, np.float32),
+                       np.asarray(pose, np.float32),
+                       frames, Future(), time.monotonic(),
+                       None if transformed_video is None
+                       else np.asarray(transformed_video, np.float32),
+                       stream_q=queue.Queue())
+        with self._lock:
+            self._stats["requests"] += 1
+        self._q.put(req)
+
+        def segments():
+            while True:
+                item = req.stream_q.get()
+                if item is _STREAM_END:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        return segments()
+
     def stats(self) -> dict:
         with self._lock:
             s = dict(self._stats)
@@ -145,6 +188,8 @@ class RenderServer:
         for r in leftovers:
             if not r.future.done():
                 r.future.set_exception(RuntimeError("server stopped"))
+            if r.stream_q is not None:
+                r.stream_q.put(RuntimeError("server stopped"))
 
     # ---- worker ---------------------------------------------------------
 
@@ -153,7 +198,7 @@ class RenderServer:
         self._stashed = None
         if first is None or self._stop.is_set():
             return None
-        if first.emotional:
+        if first.singleton:
             return [first]                  # singleton dispatch
         group = [first]
         deadline = time.monotonic() + self.max_delay
@@ -167,7 +212,7 @@ class RenderServer:
                 break
             if nxt is None:
                 break
-            if nxt.emotional:
+            if nxt.singleton:
                 self._stashed = nxt         # different kind: next round
                 break
             group.append(nxt)
@@ -184,9 +229,29 @@ class RenderServer:
                 for r in group:
                     if not r.future.done():
                         r.future.set_exception(e)
+                    if r.stream_q is not None:
+                        r.stream_q.put(e)
 
     def _dispatch(self, group: list[_Request]):
         yuv = self.pipeline.options.transfer_format == "yuv420"
+        if group[0].stream_q is not None:
+            r = group[0]
+            try:
+                count = 0
+                for start, payload in self.pipeline.render_stream(
+                        r.source, r.waveform, r.pose,
+                        transformed_video=r.transformed,
+                        add_emo=r.emotional):
+                    r.stream_q.put((start, payload))
+                    count += 1
+            except Exception as e:
+                r.stream_q.put(e)
+                if not r.future.done():
+                    r.future.set_exception(e)
+                return
+            r.stream_q.put(_STREAM_END)
+            self._finish([r], [count])      # future resolves to #segments
+            return
         if group[0].emotional:
             r = group[0]
             if yuv:

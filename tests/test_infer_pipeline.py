@@ -245,3 +245,51 @@ def test_batch_overlap_matches_single_dispatch(pipeline):
     np.testing.assert_array_equal(y0, y1)
     np.testing.assert_array_equal(u0, u1)
     np.testing.assert_array_equal(v0, v1)
+
+
+def test_render_stream_matches_whole_clip(pipeline):
+    """render_stream yields in-order segments whose concatenation is
+    bitwise equal to the whole-clip render — rgb and yuv420, neutral and
+    emotional — and the adapt_scale fallback raises."""
+    src, wav, pose, emo_frames = _inputs(seed=9)
+    ov = EammPipeline(
+        pipeline.config, pipeline.vars,
+        options=PipelineOptions(frame_chunk=8, time_bucket=16,
+                                overlap_segments=3))
+    whole = ov.render_uint8(src, wav, pose, add_emo=False)
+    segs = list(ov.render_stream(src, wav, pose, add_emo=False))
+    assert [s for s, _ in segs] == sorted(s for s, _ in segs)
+    assert segs[0][0] == 0
+    np.testing.assert_array_equal(
+        np.concatenate([p for _, p in segs], axis=0), whole)
+    # first segment is a strict prefix (streaming is useful)
+    assert len(segs) > 1 and segs[0][1].shape[0] < whole.shape[0]
+
+    emo_whole = ov.render_uint8(src, wav, pose,
+                                transformed_video=emo_frames, add_emo=True)
+    emo_segs = list(ov.render_stream(src, wav, pose,
+                                     transformed_video=emo_frames,
+                                     add_emo=True))
+    np.testing.assert_array_equal(
+        np.concatenate([p for _, p in emo_segs], axis=0), emo_whole)
+
+    yuv = EammPipeline(
+        pipeline.config, pipeline.vars,
+        options=PipelineOptions(frame_chunk=8, time_bucket=16,
+                                transfer_format="yuv420",
+                                overlap_segments=2))
+    y0, u0, v0 = yuv.render_yuv420(src, wav, pose, add_emo=False)
+    ysegs = list(yuv.render_stream(src, wav, pose, add_emo=False))
+    np.testing.assert_array_equal(
+        np.concatenate([p[0] for _, p in ysegs], axis=0), y0)
+    np.testing.assert_array_equal(
+        np.concatenate([p[1] for _, p in ysegs], axis=0), u0)
+    np.testing.assert_array_equal(
+        np.concatenate([p[2] for _, p in ysegs], axis=0), v0)
+
+    bad = EammPipeline(
+        pipeline.config, pipeline.vars,
+        options=PipelineOptions(frame_chunk=8, time_bucket=16,
+                                adapt_scale=True))
+    with pytest.raises(ValueError, match="adapt_scale"):
+        next(bad.render_stream(src, wav, pose, add_emo=False))

@@ -137,3 +137,27 @@ def test_emotional_requests_interleave_with_neutral(pipeline):
         assert 2 <= s["dispatches"] <= 3   # emotional one never batched
     finally:
         server.stop()
+
+
+def test_streaming_request(pipeline):
+    """submit_stream delivers ordered segments equal to the non-streamed
+    render; neutral batched requests keep working alongside."""
+    from eamm_tpu.serve import RenderServer
+    from eamm_tpu.infer import EammPipeline, PipelineOptions
+    ov = EammPipeline(
+        pipeline.config, pipeline.vars,
+        options=PipelineOptions(frame_chunk=8, time_bucket=16,
+                                overlap_segments=2))
+    server = RenderServer(ov, max_batch=2, max_delay_ms=30)
+    try:
+        src, wav, pose = _req(0)
+        whole = ov.render_uint8(src, wav, pose, add_emo=False)
+        stream = server.submit_stream(src, wav, pose)
+        fut = server.submit(*_req(1))           # batched neutral alongside
+        segs = list(stream)
+        assert [s for s, _ in segs] == sorted(s for s, _ in segs)
+        np.testing.assert_array_equal(
+            np.concatenate([p for _, p in segs], axis=0), whole)
+        assert fut.result(timeout=300).shape == whole.shape
+    finally:
+        server.stop()
