@@ -1,0 +1,101 @@
+"""``eamm-serve`` — production render server over HTTP.
+
+Loads the reference's three torch checkpoints (same flags as the demo
+CLI, ref:demo.py:82-95,536-541), builds an ``EammPipeline`` with the
+production delivery options, wraps it in the dynamic-batching
+``RenderServer`` and serves the stdlib HTTP front
+(:mod:`eamm_tpu.serve_http`: POST /render, POST /render_stream,
+GET /stats, GET /healthz).
+
+The reference has no serving entry point at all; this is the deployment
+face of the framework.
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", required=True, help="path to config yaml")
+    p.add_argument("--checkpoint", required=True,
+                   help="FOMM .pth.tar (generator + kp_detector)")
+    p.add_argument("--audio_checkpoint", required=True,
+                   help="A2FD .pth.tar (audio_feature + kp_detector_a)")
+    p.add_argument("--emo_checkpoint", required=True,
+                   help="emotion .pth.tar (emo_detector)")
+    p.add_argument("--type", default="linear_3", dest="emo_type")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--max_batch", type=int, default=4,
+                   help="clips per coalesced device dispatch")
+    p.add_argument("--max_delay_ms", type=float, default=50.0,
+                   help="batching window after the first queued request")
+    p.add_argument("--transfer_format", default="yuv420",
+                   choices=["rgb", "yuv420"])
+    p.add_argument("--overlap_segments", type=int, default=8)
+    p.add_argument("--frame_chunk", type=int, default=32)
+    p.add_argument("--time_bucket", type=int, default=32)
+    p.add_argument("--f32", action="store_true",
+                   help="disable the default bfloat16 compute")
+    p.add_argument("--warmup_seconds", type=float, default=0.0,
+                   help="pre-compile with a silent clip of this length "
+                        "before accepting traffic")
+    return p
+
+
+def main(argv=None, stop_event=None, ready=None):
+    """``stop_event`` / ``ready`` are test hooks: a threading.Event to end
+    the serve loop, and a callback receiving the live ``HttpRenderFront``."""
+    opt = build_parser().parse_args(argv)
+
+    import numpy as np
+    import jax.numpy as jnp
+    from eamm_tpu.config import load_config
+    from eamm_tpu.infer import EammPipeline, PipelineOptions
+    from eamm_tpu.serve import RenderServer
+    from eamm_tpu.serve_http import HttpRenderFront
+
+    options = PipelineOptions(
+        emo_type=opt.emo_type,
+        transfer_format=opt.transfer_format,
+        overlap_segments=max(1, opt.overlap_segments),
+        frame_chunk=opt.frame_chunk, time_bucket=opt.time_bucket,
+        compute_dtype=(jnp.float32 if opt.f32 else jnp.bfloat16))
+    pipe = EammPipeline.from_torch_checkpoints(
+        load_config(opt.config), opt.checkpoint, opt.audio_checkpoint,
+        opt.emo_checkpoint, options)
+    server = RenderServer(pipe, max_batch=opt.max_batch,
+                          max_delay_ms=opt.max_delay_ms)
+
+    if opt.warmup_seconds > 0:
+        # trigger the clip-length bucket's compilation before going live
+        wav = np.zeros(int(16000 * opt.warmup_seconds), np.float32)
+        src = np.zeros((256, 256, 3), np.float32)
+        pose = np.zeros((1, 7), np.float32)
+        server.render(src, wav, pose)
+        server.reset_stats()
+
+    front = HttpRenderFront(server, host=opt.host, port=opt.port)
+    print(f"eamm-serve listening on {front.url} "
+          f"(max_batch={opt.max_batch}, {opt.transfer_format}, "
+          f"S={opt.overlap_segments})", flush=True)
+    try:
+        import threading
+        stop = stop_event or threading.Event()
+        try:
+            import signal
+            for sig in (signal.SIGINT, signal.SIGTERM):
+                signal.signal(sig, lambda *_: stop.set())
+        except ValueError:
+            pass                    # not the main thread (tests)
+        if ready is not None:
+            ready(front)
+        stop.wait()
+    finally:
+        front.close()
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -151,3 +151,51 @@ def test_video_fps_fallbacks(tmp_path):
     assert video_fps(None) == 25.0
     assert video_fps("clip.npy") == 25.0
     assert video_fps(str(tmp_path / "missing.mp4")) == 25.0
+
+
+def test_serve_cli(demo_env):
+    """eamm-serve end-to-end: torch checkpoints -> RenderServer -> HTTP
+    /render with warm-up, driven through eamm_tpu.cli.serve.main."""
+    import threading
+    import urllib.request
+    from eamm_tpu.cli.serve import main as serve_main
+    from eamm_tpu.serve_http import encode_request, decode_response
+
+    d = demo_env
+    stop = threading.Event()
+    fronts = []
+    t = threading.Thread(target=serve_main, kwargs=dict(
+        argv=["--config", f"{d}/config.yaml",
+              "--checkpoint", f"{d}/fomm.pth.tar",
+              "--audio_checkpoint", f"{d}/audio.pth.tar",
+              "--emo_checkpoint", f"{d}/emo.pth.tar",
+              "--host", "127.0.0.1", "--port", "0",
+              "--transfer_format", "rgb", "--overlap_segments", "1",
+              "--frame_chunk", "8", "--time_bucket", "16",
+              "--f32", "--max_batch", "1", "--warmup_seconds", "0.2"],
+        stop_event=stop, ready=fronts.append), daemon=True)
+    t.start()
+    try:
+        deadline = 900
+        while not fronts and deadline > 0:
+            threading.Event().wait(0.5)
+            deadline -= 0.5
+            assert t.is_alive(), "serve CLI died during startup"
+        front = fronts[0]
+        rng = np.random.RandomState(4)
+        body = encode_request(rng.rand(256, 256, 3),
+                              0.1 * rng.randn(8000), rng.randn(1, 7))
+        req = urllib.request.Request(front.url + "/render", data=body,
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            out = decode_response(resp.read())
+        frames = out["frames"]
+        assert frames.dtype == np.uint8
+        assert frames.ndim == 4 and frames.shape[1:] == (256, 256, 3)
+        # warm-up stats were reset; this request is counted
+        with urllib.request.urlopen(front.url + "/stats", timeout=60) as r:
+            import json
+            assert json.loads(r.read())["requests"] == 1
+    finally:
+        stop.set()
+        t.join(timeout=120)

@@ -161,3 +161,54 @@ def test_streaming_request(pipeline):
         assert fut.result(timeout=300).shape == whole.shape
     finally:
         server.stop()
+
+
+def test_http_front(pipeline):
+    """HTTP layer: /render and /render_stream round-trip the npz wire
+    format and match the direct pipeline output; /stats and /healthz."""
+    import json
+    import urllib.request
+    from eamm_tpu.serve_http import (HttpRenderFront, encode_request,
+                                     decode_response, iter_stream)
+    from eamm_tpu.infer import EammPipeline, PipelineOptions
+    ov = EammPipeline(
+        pipeline.config, pipeline.vars,
+        options=PipelineOptions(frame_chunk=8, time_bucket=16,
+                                overlap_segments=2))
+    server = RenderServer(ov, max_batch=2, max_delay_ms=20)
+    front = HttpRenderFront(server)
+    try:
+        src, wav, pose = _req(3)
+        want = ov.render_uint8(src, wav, pose, add_emo=False)
+        body = encode_request(src, wav, pose)
+
+        req = urllib.request.Request(front.url + "/render", data=body,
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            out = decode_response(resp.read())
+        np.testing.assert_array_equal(out["frames"], want)
+
+        req = urllib.request.Request(front.url + "/render_stream", data=body,
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            segs = list(iter_stream(resp))
+        assert [s["start"] for s in segs] == sorted(s["start"] for s in segs)
+        np.testing.assert_array_equal(
+            np.concatenate([s["frames"] for s in segs], axis=0), want)
+
+        with urllib.request.urlopen(front.url + "/healthz", timeout=60) as r:
+            assert r.read() == b"ok"
+        with urllib.request.urlopen(front.url + "/stats", timeout=60) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] >= 2
+
+        bad = urllib.request.Request(front.url + "/render", data=b"junk",
+                                     method="POST")
+        try:
+            urllib.request.urlopen(bad, timeout=60)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        front.close()
+        server.stop()
