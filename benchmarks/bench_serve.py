@@ -54,6 +54,24 @@ def main():
     dt = time.time() - t0
     frames = sum(r[0].shape[0] for r in results)
     stats = server.stats()
+    # streaming latency: time-to-first-segment vs whole-clip delivery for a
+    # lone request (the interactive-playback case); interleaved A/B because
+    # tunnel bandwidth drifts between phases
+    ttfs, whole = [], []
+    for _ in range(4):
+        r = req()
+        t1 = time.time()
+        it = server.submit_stream(*r)
+        first = next(it)
+        ttfs.append(time.time() - t1)
+        for _ in it:
+            pass
+        r = req()
+        t1 = time.time()
+        server.render(*r, timeout=1800)
+        whole.append(time.time() - t1)
+    first_frames = first[1][0].shape[0] if isinstance(first[1], tuple) \
+        else first[1].shape[0]
     server.stop()
     print(json.dumps({
         "metric": "serve_clips_per_sec",
@@ -64,6 +82,10 @@ def main():
         "burst_wall_sec": round(dt, 2),
         **{k: stats[k] for k in ("mean_batch_occupancy", "mean_latency_ms",
                                  "latency_max_ms")},
+        "stream_first_segment_ms_median": round(
+            1e3 * float(np.median(ttfs)), 1),
+        "stream_first_segment_frames": int(first_frames),
+        "whole_clip_ms_median": round(1e3 * float(np.median(whole)), 1),
     }))
 
 

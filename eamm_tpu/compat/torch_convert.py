@@ -218,10 +218,10 @@ def convert_generator(sd: Mapping[str, np.ndarray],
     return b.done()
 
 
-def convert_atnet(sd: Mapping[str, np.ndarray]) -> dict:
-    """AT_net / AT_net2 (ref:modules/util.py:203-304,514-614)."""
-    sd = _strip_prefix(sd)
-    b = _TreeBuilder()
+def _atnet_trunk(b: _TreeBuilder, sd) -> None:
+    """The encoder/decoder trunk shared by AT_net and TF_net
+    (ref:modules/util.py:203-304 and :321-511 declare identical
+    down_blocks / pose_encoder / audio_eocder(+fc) / decon stacks)."""
     for i in range(8):
         b.block(sd, f"down_blocks.{i}", f"image_encoder/down{i}")
     b.add("pose_encoder/fc0", linear(sd, "pose_encoder.0"))
@@ -233,16 +233,38 @@ def convert_atnet(sd: Mapping[str, np.ndarray]) -> dict:
     b.add("audio_encoder/fc0", linear(sd, "audio_eocder_fc.0",
                                       flatten_from_chw=(512, 12, 2)))
     b.add("audio_encoder/fc1", linear(sd, "audio_eocder_fc.2"))
-    b.add("lstm", lstm(sd, "lstm", 3))
     # decon Sequential: convT at 0,3,6,9,12; BN at 1,4,7,10
     for jax_i, torch_i in enumerate([0, 3, 6, 9, 12]):
         b.add(f"decoder/decon{jax_i}", conv_transpose2d(sd, f"decon.{torch_i}"))
     for jax_i, torch_i in enumerate([1, 4, 7, 10]):
         b.add_bn(sd, f"decon.{torch_i}", f"decoder/norm{jax_i}")
+
+
+def convert_atnet(sd: Mapping[str, np.ndarray]) -> dict:
+    """AT_net / AT_net2 (ref:modules/util.py:203-304,514-614)."""
+    sd = _strip_prefix(sd)
+    b = _TreeBuilder()
+    _atnet_trunk(b, sd)
+    b.add("lstm", lstm(sd, "lstm", 3))
     out = b.done()
     if "generator.conv1.conv.weight" in sd:   # jaco_net='gan' decoder
         out["params"]["generator"] = convert_stylegan2(sd, "generator")
     return out
+
+
+def convert_tfnet(sd: Mapping[str, np.ndarray]) -> dict:
+    """TF_net, 'concat' forward (ref:modules/util.py:321-511,480-511):
+    the AT_net trunk plus the emotion-concat LSTM (``lstm_two``,
+    1536->256).  The AdaIN branches' ``instance_norm``/``style_mod``
+    weights are not mapped: the reference applies InstanceNorm to 1x1
+    spatial maps there, which zeroes the content features (degenerate —
+    see PARITY.md); this framework's AdaIN modes are a coherent redesign,
+    so only the well-defined concat path converts."""
+    sd = _strip_prefix(sd)
+    b = _TreeBuilder()
+    _atnet_trunk(b, sd)
+    b.add("lstm_two", lstm(sd, "lstm_two", 3))
+    return b.done()
 
 
 def convert_stylegan2(sd: Mapping[str, np.ndarray], pfx: str = "",
@@ -305,6 +327,100 @@ def _emotion_trunk(b: _TreeBuilder, sd, num_blocks=5):
             if f"{pfx}.downsample.0.weight" in sd:
                 b.add(f"{path}/ds_conv", conv2d(sd, f"{pfx}.downsample.0"))
                 b.add_bn(sd, f"{pfx}.downsample.1", f"{path}/ds_bn")
+
+
+def _sub(sd: Mapping[str, np.ndarray], pfx: str) -> dict[str, np.ndarray]:
+    """The sub-state_dict under ``pfx.`` (for composed modules)."""
+    return {k[len(pfx) + 1:]: v for k, v in sd.items()
+            if k.startswith(pfx + ".")}
+
+
+def convert_ct_encoder(sd: Mapping[str, np.ndarray]) -> dict:
+    """Ct_encoder (ref:modules/util.py:618-644): the AT_net audio conv
+    stack + fc, mapped onto CtEncoder's inner AudioEncoder."""
+    sd = _strip_prefix(sd)
+    b = _TreeBuilder()
+    for jax_i, torch_i in enumerate([0, 1, 3, 4, 5]):
+        b.conv_block(sd, f"audio_eocder.{torch_i}", f"encoder/conv{jax_i}")
+    b.add("encoder/fc0", linear(sd, "audio_eocder_fc.0",
+                                flatten_from_chw=(512, 12, 2)))
+    b.add("encoder/fc1", linear(sd, "audio_eocder_fc.2"))
+    return b.done()
+
+
+def convert_emotion_net(sd: Mapping[str, np.ndarray]) -> dict:
+    """EmotionNet (ref:modules/util.py:647-712).  The flattened [512,1,6]
+    map has a single spatial row, so torch's NCHW flatten equals this
+    framework's (c, w) flatten — no permutation needed.  The dead
+    ``last_fc``/``re_id*`` heads (commented out of the reference forward)
+    are not mapped."""
+    sd = _strip_prefix(sd)
+    b = _TreeBuilder()
+    for jax_i, torch_i in enumerate([0, 2, 3, 5]):
+        b.conv_block(sd, f"emotion_eocder.{torch_i}", f"conv{jax_i}")
+    b.add("fc0", linear(sd, "emotion_eocder_fc.0"))
+    b.add("fc1", linear(sd, "emotion_eocder_fc.2"))
+    return b.done()
+
+
+def _decon_stack(b: _TreeBuilder, sd, n_deconv: int, pfx: str = "decon",
+                 path: str = "") -> None:
+    """A reference ``decon`` Sequential: ConvTranspose at 0,3,6,...; BN at
+    1,4,7,... (the final ConvTranspose has no BN)."""
+    p = (path + "/") if path else ""
+    for i in range(n_deconv):
+        b.add(f"{p}decon{i}", conv_transpose2d(sd, f"{pfx}.{3 * i}"))
+        if i < n_deconv - 1:
+            b.add_bn(sd, f"{pfx}.{3 * i + 1}", f"{p}norm{i}")
+
+
+def convert_af2f(sd: Mapping[str, np.ndarray]) -> dict:
+    """AF2F / AF2F_s (ref:modules/util.py:715-773): 5-deconv decoder."""
+    sd = _strip_prefix(sd)
+    b = _TreeBuilder()
+    _decon_stack(b, sd, 5)
+    return b.done()
+
+
+convert_af2f_s = convert_af2f      # identical decon layout (final ReLU
+                                   # carries no parameters)
+
+
+def convert_a2i(sd: Mapping[str, np.ndarray]) -> dict:
+    """A2I (ref:modules/util.py:776-813): conv blocks at 0,1,3,4 + 4-deconv."""
+    sd = _strip_prefix(sd)
+    b = _TreeBuilder()
+    for jax_i, torch_i in enumerate([0, 1, 3, 4]):
+        b.conv_block(sd, f"audio_eocder.{torch_i}", f"conv{jax_i}")
+    _decon_stack(b, sd, 4)
+    return b.done()
+
+
+def convert_na_net(sd: Mapping[str, np.ndarray]) -> dict:
+    """NA_net (ref:modules/util.py:175-201): 3-deconv decoder."""
+    sd = _strip_prefix(sd)
+    b = _TreeBuilder()
+    _decon_stack(b, sd, 3)
+    return b.done()
+
+
+def convert_audio_feature(sd: Mapping[str, np.ndarray]) -> dict:
+    """Audio_Feature (ref:modules/keypoint_detector.py:208-228):
+    Ct_encoder + EmotionNet + AF2F_s composition."""
+    sd = _strip_prefix(sd)
+
+    def merge(tree, sub, key):
+        for part, dst in (("params", tree.setdefault("params", {})),
+                          ("batch_stats", tree.setdefault("batch_stats", {}))):
+            if part in sub:
+                dst[key] = sub[part]
+        return tree
+
+    out: dict = {}
+    merge(out, convert_ct_encoder(_sub(sd, "con_encoder")), "con_encoder")
+    merge(out, convert_emotion_net(_sub(sd, "emo_encoder")), "emo_encoder")
+    merge(out, convert_af2f_s(_sub(sd, "decoder")), "decoder")
+    return out
 
 
 def convert_emotion_k(sd: Mapping[str, np.ndarray],
