@@ -423,6 +423,20 @@ def convert_audio_feature(sd: Mapping[str, np.ndarray]) -> dict:
     return out
 
 
+def convert_em_detector(sd: Mapping[str, np.ndarray],
+                        num_blocks: int | None = None) -> dict:
+    """EmDetector (ref:modules/util.py:1139-1216): the Emotion_k
+    hourglass + ResNet trunk plus the 8-way classifier; the dead ``fc``
+    head (commented out of the reference forward) is not mapped."""
+    sd = _strip_prefix(sd)
+    b = _TreeBuilder()
+    num_blocks = num_blocks or _count(
+        sd, "predictor.encoder.down_blocks.{}.conv.weight")
+    _emotion_trunk(b, sd, num_blocks)
+    b.add("classify", linear(sd, "classify.last_fc"))
+    return b.done()
+
+
 def convert_emotion_k(sd: Mapping[str, np.ndarray],
                       num_blocks: int | None = None) -> dict:
     """Emotion_k (ref:modules/util.py:1223-1527)."""

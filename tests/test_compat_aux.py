@@ -203,3 +203,21 @@ def test_audio_feature_parity():
     out = AudioFeature().apply(compat.convert_audio_feature(sd),
                                jnp.asarray(x.numpy()))
     _close(out, ref)
+
+
+def test_em_detector_parity():
+    """EmDetector == the oracle-tested Emotion_k trunk + classifier
+    (ref:modules/util.py:1139-1216 vs :1316-1331 — identical stacks),
+    through convert_em_detector."""
+    from eamm_tpu.models.aux import EmDetector
+    from tests.test_compat_emotion import TEmotionK
+    oracle, sd = _sd(TEmotionK(be=32, max_f=128, blocks=5))
+    x = torch.rand(2, 3, 256, 256)
+    with torch.no_grad():
+        out = oracle.trunk(x)
+        fake = oracle.classify(out)
+    model = EmDetector(block_expansion=32, max_features=128, num_blocks=5)
+    feat, cls = model.apply(compat.convert_em_detector(sd),
+                            jnp.asarray(x.permute(0, 2, 3, 1).numpy()))
+    np.testing.assert_allclose(np.asarray(feat), out.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(cls), fake.numpy(), atol=5e-4)
