@@ -135,3 +135,79 @@ def test_emotion_k_parity():
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(kp10["jacobian"]), t_jac10.numpy(),
                                atol=2e-4)
+
+
+def test_emotion_k_np_heads_parity():
+    """linear_np_4 / linear_np_10 (ref:modules/util.py:1396-1458): the raw
+    (non-positional-embedded) neutral feature through fc_n, then the same
+    final conv heads."""
+    torch.manual_seed(12)
+    oracle = TEmotionK().eval()
+    _randomize_bn_stats(oracle)
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    model = EmotionK(block_expansion=32, max_features=128, num_blocks=5)
+    variables = convert_emotion_k(sd)
+
+    x = torch.rand(2, 3, 256, 256)
+    value = torch.rand(2, 10, 2) - 0.5
+    jacobian = torch.eye(2).view(1, 1, 2, 2).repeat(2, 10, 1, 1) \
+        + 0.1 * torch.randn(2, 10, 2, 2)
+    with torch.no_grad():
+        out = oracle.trunk(x)
+        t_fake = oracle.classify(out)
+        neu = torch.cat((value, jacobian.reshape(*jacobian.shape[:2], 4)), 2)
+        ner = oracle.fc_n(neu.reshape(neu.shape[0], -1))
+        fc = oracle.fc_all(torch.cat((out, ner), 1))
+        r4 = oracle.final(fc.unsqueeze(1))
+        t4 = (r4[:, :, :2], r4[:, :, 2:].reshape(-1, 4, 2, 2))
+        r10 = oracle.final_10(fc.reshape(-1, 4, 16))
+        t10 = (r10[:, :, :2], r10[:, :, 2:].reshape(-1, 10, 2, 2))
+
+    args = (jnp.asarray(x.permute(0, 2, 3, 1).numpy()),
+            jnp.asarray(value.numpy()), jnp.asarray(jacobian.numpy()))
+    for head, (tv, tj) in (("linear_np_4", t4), ("linear_np_10", t10)):
+        kp, fake = model.apply(variables, *args, head=head)
+        np.testing.assert_allclose(np.asarray(fake), t_fake.numpy(),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(kp["value"]), tv.numpy(),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(kp["jacobian"]), tj.numpy(),
+                                   atol=2e-4)
+
+
+def test_emotion_k_feature_methods_parity():
+    """`feature` (image -> 512-d trunk, ref:modules/util.py:1477-1496) and
+    `emotion_feature` (precomputed feature -> 4-kp head, ref::1459-1475)."""
+    torch.manual_seed(13)
+    oracle = TEmotionK().eval()
+    _randomize_bn_stats(oracle)
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    model = EmotionK(block_expansion=32, max_features=128, num_blocks=5)
+    variables = convert_emotion_k(sd)
+
+    x = torch.rand(2, 3, 256, 256)
+    value = torch.rand(2, 10, 2) - 0.5
+    jacobian = torch.eye(2).view(1, 1, 2, 2).repeat(2, 10, 1, 1) \
+        + 0.1 * torch.randn(2, 10, 2, 2)
+    with torch.no_grad():
+        t_feat = oracle.trunk(x)
+        t_fake = oracle.classify(t_feat)
+        neu = torch.cat((value, jacobian.reshape(*jacobian.shape[:2], 4)), 2)
+        ner = oracle.fc_p(t_embed(neu).reshape(neu.shape[0], -1))
+        r = oracle.final(
+            oracle.fc_all(torch.cat((t_feat, ner), 1)).unsqueeze(1))
+        t_val, t_jac = r[:, :, :2], r[:, :, 2:].reshape(-1, 4, 2, 2)
+
+    feat = model.apply(variables,
+                       jnp.asarray(x.permute(0, 2, 3, 1).numpy()),
+                       method=EmotionK.feature)
+    np.testing.assert_allclose(np.asarray(feat), t_feat.numpy(), atol=2e-4)
+
+    kp, fake = model.apply(variables, feat, jnp.asarray(value.numpy()),
+                           jnp.asarray(jacobian.numpy()),
+                           method=EmotionK.emotion_feature)
+    np.testing.assert_allclose(np.asarray(fake), t_fake.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(kp["value"]), t_val.numpy(),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(kp["jacobian"]), t_jac.numpy(),
+                               atol=2e-4)

@@ -101,3 +101,50 @@ def test_emotion_map_parity():
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(kp["jacobian"]), t_jac.numpy(),
                                atol=2e-4)
+
+
+def test_emotion_map_4_parity():
+    """map_4 head (ref:modules/util.py:1636-1690): same trunk/decoder,
+    kp_4/jacobian_4 conv heads with K=4."""
+    torch.manual_seed(9)
+    oracle = TEmotionMap().eval()
+    _randomize_bn_stats(oracle)
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+
+    model = EmotionMap(block_expansion=32, max_features=128, num_blocks=5)
+    variables = convert_emotion_map(sd)
+
+    x = torch.rand(2, 3, 256, 256)
+    value = torch.rand(2, 10, 2) - 0.5
+    jacobian = torch.eye(2).view(1, 1, 2, 2).repeat(2, 10, 1, 1) \
+        + 0.1 * torch.randn(2, 10, 2, 2)
+    with torch.no_grad():
+        # oracle map_4: identical to forward with the 4-kp conv heads
+        fm = oracle.predictor(_gaussian_blur_downsample(x))
+        f = F.max_pool2d(F.relu(oracle.bn1(oracle.conv1(fm))), 3, 2, 1)
+        f = oracle.layer4(oracle.layer3(oracle.layer2(oracle.layer1(f))))
+        out = F.adaptive_avg_pool2d(f, 1).squeeze(3).squeeze(2)
+        t_fake = oracle.classify(out)
+        neu = torch.cat((value, jacobian.reshape(*jacobian.shape[:2], 4)), 2)
+        ner = oracle.fc_p(t_embed(neu).reshape(neu.shape[0], -1))
+        all_fc = oracle.fc_all(torch.cat((out, ner), 1)).reshape(-1, 128, 4, 4)
+        fmap = oracle.final(all_fc)
+        pred = oracle.kp_4(fmap)
+        B, K, h, w = pred.shape
+        heat = torch.softmax(pred.view(B, K, -1) / 0.1, dim=2).view(B, K, h, w)
+        jmap = oracle.jacobian_4(fmap).view(B, K, 4, h, w)
+        t_jac = (heat.unsqueeze(2) * jmap).sum(dim=(3, 4)).view(B, K, 2, 2)
+        ax = 2 * torch.arange(w).float() / (w - 1) - 1
+        grid = torch.stack([ax.view(1, -1).repeat(h, 1),
+                            ax.view(-1, 1).repeat(1, w)], -1)
+        t_val = (heat.unsqueeze(-1) * grid).sum(dim=(2, 3))
+
+    kp, fake = model.apply(
+        variables, jnp.asarray(x.permute(0, 2, 3, 1).numpy()),
+        jnp.asarray(value.numpy()), jnp.asarray(jacobian.numpy()),
+        head="map_4")
+    np.testing.assert_allclose(np.asarray(fake), t_fake.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(kp["value"]), t_val.numpy(),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(kp["jacobian"]), t_jac.numpy(),
+                               atol=2e-4)
