@@ -34,14 +34,34 @@ class CheckpointManager:
             self._mgr = None
             self.max_to_keep = max_to_keep
 
-    def save(self, step: int, state: Any):
-        tree = jax.tree.map(np.asarray, state_to_tree(state))
+    def save(self, step: int, state: Any, blocking: bool = True):
+        """Save the train state.
+
+        The device->host fetch is unavoidable (and is the dominant cost on
+        a remote-attached chip: ~0.5 GB of params+opt state over a
+        ~30 MB/s link), so it rides the concurrent fetch streams; with
+        ``blocking=False`` the disk serialization then happens on orbax's
+        background thread while training continues — the train loop only
+        pays the fetch, and the next save (or ``wait()``/final save)
+        fences the previous write."""
+        tree = state_to_tree(state)
+        leaves, treedef = jax.tree.flatten(tree)
+        from eamm_tpu.utils.transfer import fetch_parallel
+        tree = jax.tree.unflatten(treedef, fetch_parallel(leaves))
         if self._mgr is not None:
-            self._mgr.save(step, args=ocp.args.StandardSave(tree))
+            # orbax requires the previous async save to be finished
             self._mgr.wait_until_finished()
+            self._mgr.save(step, args=ocp.args.StandardSave(tree))
+            if blocking:
+                self._mgr.wait_until_finished()
         else:                                          # pragma: no cover
             np.save(os.path.join(self.directory, f"ckpt_{step}.npy"),
                     np.array([tree], dtype=object), allow_pickle=True)
+
+    def wait(self):
+        """Fence any in-flight background save."""
+        if self._mgr is not None:
+            self._mgr.wait_until_finished()
 
     def latest_step(self) -> int | None:
         if self._mgr is not None:

@@ -320,7 +320,9 @@ def train(config: dict, mode: str, log_dir: str, checkpoint: str | None = None,
                         flush_metrics()
                     if crossed(save_every_steps) and epoch % checkpoint_freq == 0:
                         flush_metrics()
-                        ckpt.save(step_num, state)
+                        # non-blocking: the loop pays only the state fetch;
+                        # orbax writes on its background thread
+                        ckpt.save(step_num, state, blocking=False)
                         save_visualization(state, batch_host, step_num)
                     stop = (max_steps is not None and total >= max_steps)
                     if preempted["sig"] is not None:

@@ -173,3 +173,21 @@ def test_train_loop_device_augmentation(lrw_root, tmp_path):
     scalars = read_scalars(os.path.join(log_dir, "scalars.jsonl"))
     _, vals = scalars["train/total"]
     assert np.all(np.isfinite(vals))
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """Non-blocking saves (orbax background write) fence correctly:
+    consecutive async saves + a blocking final save all restore intact."""
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    rng = np.random.RandomState(0)
+    trees = {s: {"trainable": {"w": rng.randn(64, 64).astype(np.float32)},
+                 "step": np.int64(s)} for s in (1, 2, 3)}
+    mgr.save(1, trees[1], blocking=False)
+    mgr.save(2, trees[2], blocking=False)     # fences save 1 at entry
+    mgr.save(3, trees[3])                     # blocking final
+    assert mgr.latest_step() == 3
+    for s in (2, 3):
+        got = mgr.restore(s, like=trees[s])
+        np.testing.assert_array_equal(got["trainable"]["w"],
+                                      trees[s]["trainable"]["w"])
+        assert int(got["step"]) == s
