@@ -69,11 +69,17 @@ def main(argv=None, stop_event=None, ready=None):
                           max_delay_ms=opt.max_delay_ms)
 
     if opt.warmup_seconds > 0:
-        # trigger the clip-length bucket's compilation before going live
+        # compile both program families for this clip-length bucket before
+        # going live: the coalesced-batch programs (render) AND the
+        # singleton kp-stage/segment programs (render_stream) — a fresh
+        # compile through a remote-compile tunnel can take many minutes,
+        # during which the single dispatch worker would stall all traffic
         wav = np.zeros(int(16000 * opt.warmup_seconds), np.float32)
         src = np.zeros((256, 256, 3), np.float32)
         pose = np.zeros((1, 7), np.float32)
         server.render(src, wav, pose)
+        for _ in server.submit_stream(src, wav, pose):
+            pass
         server.reset_stats()
 
     front = HttpRenderFront(server, host=opt.host, port=opt.port)

@@ -144,23 +144,30 @@ def _make_device_aug(augmentation_params):
         raise ValueError(
             "device_augmentation supports flip_param/jitter_param only; "
             f"config also has {sorted(extra)}")
-    return (RandomFlip(**(ap.get("flip_param") or {})),
-            ColorJitter(**(ap.get("jitter_param") or {})))
+    return (RandomFlip(**ap["flip_param"])
+            if ap.get("flip_param") is not None else None,
+            ColorJitter(**ap["jitter_param"])
+            if ap.get("jitter_param") is not None else None)
 
 
 def _sample_device_aug(flip, jitter):
     """Draw per-clip augmentation decisions in the host pipeline's exact
     coin order: time-flip coin, then (only if not taken) horizontal coin,
-    then the jitter factors."""
-    ft = 1 if (random.random() < 0.5 and flip.time_flip) else 0
-    fh = 0
-    if not ft:
-        fh = 1 if (random.random() < 0.5 and flip.horizontal_flip) else 0
-    return {
-        "flip_time": np.uint8(ft),
-        "flip_h": np.uint8(fh),
-        "jitter_factors": np.asarray(jitter.sample_factors(), np.float32),
-    }
+    then the jitter factors.  An absent transform (None sampler, matching
+    AllAugmentationTransform's `is not None` construction) consumes zero
+    draws so the stream stays aligned with a seeded host run."""
+    out = {}
+    if flip is not None:
+        ft = 1 if (random.random() < 0.5 and flip.time_flip) else 0
+        fh = 0
+        if not ft:
+            fh = 1 if (random.random() < 0.5 and flip.horizontal_flip) else 0
+        out["flip_time"] = np.uint8(ft)
+        out["flip_h"] = np.uint8(fh)
+    if jitter is not None:
+        out["jitter_factors"] = np.asarray(jitter.sample_factors(),
+                                           np.float32)
+    return out
 
 
 def _make_mead_device_aug(augmentation_params):
@@ -179,15 +186,19 @@ def _make_mead_device_aug(augmentation_params):
         raise ValueError(
             "device_augmentation (MEAD) supports mouth/flip/rotation/"
             f"perspective/jitter only; config also has {sorted(extra)}")
+    # construct each sampler exactly when the host pipeline would construct
+    # the transform (`is not None`, AllAugmentationTransform.__init__) —
+    # an absent transform must consume ZERO random draws, or every
+    # subsequent decision diverges from the host RNG stream
+    def opt(key, cls):
+        return cls(**ap[key]) if ap.get(key) is not None else None
+
     return {
-        "mouth": MouthCrop(**ap["crop_mouth_param"])
-        if ap.get("crop_mouth_param") else None,
-        "flip": RandomFlip(**(ap.get("flip_param") or {})),
-        "rot": RandomRotation(**ap["rotation_param"])
-        if ap.get("rotation_param") else None,
-        "pers": RandomPerspective(**ap["perspective_param"])
-        if ap.get("perspective_param") else None,
-        "jitter": ColorJitter(**(ap.get("jitter_param") or {})),
+        "mouth": opt("crop_mouth_param", MouthCrop),
+        "flip": opt("flip_param", RandomFlip),
+        "rot": opt("rotation_param", RandomRotation),
+        "pers": opt("perspective_param", RandomPerspective),
+        "jitter": opt("jitter_param", ColorJitter),
     }
 
 
@@ -203,13 +214,15 @@ def _sample_mead_device_aug(samplers, num_frames, h, w):
             np.rint(noise * 255.0), 0, 255).astype(np.uint8)
         keys["tdrv_mouth_rect"] = np.asarray(samplers["mouth"].rect,
                                              np.int32)
-    ft = 1 if (random.random() < 0.5 and samplers["flip"].time_flip) else 0
-    fh = 0
-    if not ft:
-        fh = 1 if (random.random() < 0.5
-                   and samplers["flip"].horizontal_flip) else 0
-    keys["tdrv_flip_time"] = np.uint8(ft)
-    keys["tdrv_flip_h"] = np.uint8(fh)
+    if samplers["flip"] is not None:
+        ft = 1 if (random.random() < 0.5
+                   and samplers["flip"].time_flip) else 0
+        fh = 0
+        if not ft:
+            fh = 1 if (random.random() < 0.5
+                       and samplers["flip"].horizontal_flip) else 0
+        keys["tdrv_flip_time"] = np.uint8(ft)
+        keys["tdrv_flip_h"] = np.uint8(fh)
     if samplers["rot"] is not None:
         M = samplers["rot"].sample_matrix(h, w)
         keys["tdrv_rot_minv"] = np.linalg.inv(M).astype(np.float32)
@@ -217,8 +230,9 @@ def _sample_mead_device_aug(samplers, num_frames, h, w):
         keys["tdrv_pers_minv"] = np.asarray(
             [np.linalg.inv(samplers["pers"].sample_matrix(h, w))
              for _ in range(num_frames)], np.float32)
-    keys["tdrv_jitter"] = np.asarray(samplers["jitter"].sample_factors(),
-                                     np.float32)
+    if samplers["jitter"] is not None:
+        keys["tdrv_jitter"] = np.asarray(
+            samplers["jitter"].sample_factors(), np.float32)
     return keys
 
 

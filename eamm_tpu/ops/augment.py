@@ -103,35 +103,39 @@ def decode_and_augment(batch: dict) -> dict:
     return _apply_mead_augmentation(out)
 
 
-def warp_homography_frames(frames, minv, padding_mode: str):
+def warp_homography_frames(frames, minv, padding_mode: str,
+                           out_hw: tuple[int, int] | None = None):
     """Warp [B, T, H, W, C] frames by per-frame homographies.
 
     minv: [B, T, 3, 3] or [B, 1, 3, 3] DST->SRC matrices (the host passes
     ``inv(M)`` precomputed in f64, matching
     ``data.augmentation.warp_homography``'s cv2 convention).
     padding_mode: 'zeros' (constant-0 border) | 'border' (replicate).
+    out_hw: output size (defaults to the input size; the host pipeline's
+    perspective warp emits a fixed 256x256, mirroring the reference).
     Dispatches through ``ops.warp.grid_sample``, i.e. the gather-free
     tent-matmul / patch-table fast paths apply.
     """
     from eamm_tpu.ops.warp import grid_sample
     B, T, H, W, C = frames.shape
+    Ho, Wo = out_hw or (H, W)
     m = jnp.broadcast_to(minv, (B, T, 3, 3)).reshape(B * T, 3, 3)
     m = m.astype(frames.dtype)
     f = frames.reshape(B * T, H, W, C)
-    xs = jnp.arange(W, dtype=frames.dtype)
-    ys = jnp.arange(H, dtype=frames.dtype)
-    X, Y = jnp.meshgrid(xs, ys)                       # [H, W]
-    pts = jnp.stack([X, Y, jnp.ones_like(X)], 0).reshape(3, -1)   # [3, HW]
-    src = jnp.einsum("nij,jp->nip", m, pts)           # [N, 3, HW]
+    xs = jnp.arange(Wo, dtype=frames.dtype)
+    ys = jnp.arange(Ho, dtype=frames.dtype)
+    X, Y = jnp.meshgrid(xs, ys)                       # [Ho, Wo]
+    pts = jnp.stack([X, Y, jnp.ones_like(X)], 0).reshape(3, -1)
+    src = jnp.einsum("nij,jp->nip", m, pts)           # [N, 3, Ho*Wo]
     sx = src[:, 0] / src[:, 2]
     sy = src[:, 1] / src[:, 2]
-    # pixel coords -> align_corners=True normalized coords
-    gx = (2.0 * sx / (W - 1) - 1.0).reshape(B * T, H, W)
-    gy = (2.0 * sy / (H - 1) - 1.0).reshape(B * T, H, W)
+    # source pixel coords -> align_corners=True normalized coords
+    gx = (2.0 * sx / (W - 1) - 1.0).reshape(B * T, Ho, Wo)
+    gy = (2.0 * sy / (H - 1) - 1.0).reshape(B * T, Ho, Wo)
     grid = jnp.stack([gx, gy], -1)
     out = grid_sample(f, grid, padding_mode=padding_mode,
                       align_corners=True)
-    return out.reshape(B, T, H, W, C)
+    return out.reshape(B, T, Ho, Wo, C)
 
 
 def _apply_mead_augmentation(out: dict) -> dict:
@@ -164,7 +168,9 @@ def _apply_mead_augmentation(out: dict) -> dict:
         x = warp_homography_frames(x, rot[:, None], "zeros")
     pers = tdrv.get("tdrv_pers_minv")                 # [B, T, 3, 3]
     if pers is not None:
-        x = warp_homography_frames(x, pers, "border")
+        # the host/reference perspective warp emits a fixed 256x256
+        # regardless of input size (ref:augmentation.py RandomPerspective)
+        x = warp_homography_frames(x, pers, "border", out_hw=(256, 256))
     fac = tdrv.get("tdrv_jitter")
     if fac is not None:
         bc = (slice(None),) + (None,) * (x.ndim - 1)

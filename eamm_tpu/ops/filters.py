@@ -61,6 +61,7 @@ def one_euro_filter_np(x: np.ndarray, *, mincutoff: float = 1.0,
     data-loading code that must never touch the device (a per-sample jax
     dispatch from a loader worker costs a tunnel round trip and couples
     CPU-side input prep to device availability)."""
+    dtype = np.asarray(x).dtype
     x = np.asarray(x, np.float64)
     xs = x * scale
     te = 1.0 / freq
@@ -83,4 +84,4 @@ def one_euro_filter_np(x: np.ndarray, *, mincutoff: float = 1.0,
             s = a * xt + (1.0 - a) * prev_filt
         prev_raw, prev_filt, prev_dfilt = xt, s, edx
         ys[t] = s
-    return (ys / scale).astype(x.dtype)
+    return (ys / scale).astype(dtype)

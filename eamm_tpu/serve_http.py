@@ -158,13 +158,17 @@ class HttpRenderFront:
                     else:
                         self._send(404, b"not found", "text/plain")
                 except BrokenPipeError:
-                    pass                          # client went away mid-stream
+                    self.close_connection = True  # client went away mid-stream
                 except Exception as e:
                     if self.path == "/render":
                         self._send(500, f"render failed: {e}".encode(),
                                    "text/plain")
-                    # mid-stream failure: the connection just drops, which
-                    # the client sees as a truncated-stream IOError
+                    else:
+                        # mid-stream failure after the 200 headers: force
+                        # the keep-alive socket closed so the client's next
+                        # read fails fast (truncated-stream IOError) instead
+                        # of blocking forever on an unterminated body
+                        self.close_connection = True
 
             def _chunk(self, data: bytes):
                 self.wfile.write(f"{len(data):x}\r\n".encode())

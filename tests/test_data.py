@@ -405,5 +405,6 @@ def test_mead_dataset_device_augmentation(mead_root):
     batch = {k: jnp.asarray(np.asarray(v)[None]) for k, v in s.items()}
     out = decode_and_augment(batch)
     assert out["driving"].shape == (1, 16, 64, 64, 3)
-    assert out["transformed_driving"].shape == (1, 16, 64, 64, 3)
+    # perspective emits the host pipeline's fixed 256x256 output
+    assert out["transformed_driving"].shape == (1, 16, 256, 256, 3)
     assert np.isfinite(np.asarray(out["transformed_driving"])).all()

@@ -145,3 +145,59 @@ def test_mead_device_pipeline_matches_host():
         assert err.mean() < 2e-3, (seed, err.mean())
         assert np.percentile(err, 99.9) < 0.03, (seed,
                                                  np.percentile(err, 99.9))
+
+
+def test_mead_device_pipeline_partial_params_matches_host():
+    """Host/device RNG-stream parity when some transforms are absent: an
+    unconfigured transform must consume zero draws (review finding)."""
+    import random as pyrandom
+    from eamm_tpu.data.datasets import (_make_mead_device_aug,
+                                        _sample_mead_device_aug)
+    aug = {"crop_mouth_param": MEAD_AUG["crop_mouth_param"],
+           "rotation_param": {"degrees": 30}}        # no flip/pers/jitter
+    rng = np.random.RandomState(11)
+    frames_u8 = rng.randint(0, 256, (3, 256, 256, 3), np.uint8)
+    frames = frames_u8.astype(np.float32) / 255.0
+    for seed in range(3):
+        pyrandom.seed(seed)
+        np.random.seed(seed)
+        host = np.asarray(AllAugmentationTransform(**aug)(frames),
+                          np.float32)
+        pyrandom.seed(seed)
+        np.random.seed(seed)
+        samplers = _make_mead_device_aug(aug)
+        dec = _sample_mead_device_aug(samplers, 3, 256, 256)
+        assert "tdrv_flip_time" not in dec and "tdrv_jitter" not in dec
+        batch = {"driving": jnp.asarray(frames_u8[None])}
+        batch.update({k: jnp.asarray(np.asarray(v)[None])
+                      for k, v in dec.items()})
+        dev = np.asarray(decode_and_augment(batch)["transformed_driving"])[0]
+        assert np.abs(dev - host).mean() < 2e-3
+
+
+def test_mead_device_perspective_output_is_256():
+    """The perspective warp emits a fixed 256x256 regardless of input size
+    (host RandomPerspective / reference hardcode 256)."""
+    import random as pyrandom
+    from eamm_tpu.data.datasets import (_make_mead_device_aug,
+                                        _sample_mead_device_aug)
+    aug = {"perspective_param": {"pers_num": 30, "enlarge_num": 40}}
+    rng = np.random.RandomState(12)
+    frames_u8 = rng.randint(0, 256, (2, 64, 64, 3), np.uint8)
+    frames = frames_u8.astype(np.float32) / 255.0
+    pyrandom.seed(5)
+    np.random.seed(5)
+    host = np.asarray(AllAugmentationTransform(**aug)(frames), np.float32)
+    assert host.shape == (2, 256, 256, 3)
+    pyrandom.seed(5)
+    np.random.seed(5)
+    samplers = _make_mead_device_aug(aug)
+    dec = _sample_mead_device_aug(samplers, 2, 64, 64)
+    batch = {"driving": jnp.asarray(frames_u8[None])}
+    batch.update({k: jnp.asarray(np.asarray(v)[None])
+                  for k, v in dec.items()})
+    out = decode_and_augment(batch)
+    dev = np.asarray(out["transformed_driving"])[0]
+    assert dev.shape == (2, 256, 256, 3)
+    assert out["driving"].shape == (1, 2, 64, 64, 3)   # clean stream native
+    assert np.abs(dev - host).mean() < 2e-2            # 64->256 upsampling

@@ -4,7 +4,7 @@ published One-Euro algorithm with the reference's conventions
 import numpy as np
 import jax.numpy as jnp
 
-from eamm_tpu.ops import one_euro_filter
+from eamm_tpu.ops import one_euro_filter, one_euro_filter_np
 
 
 class _NpLowPass:
@@ -87,3 +87,12 @@ def test_one_euro_np_matches_scan():
         dev = np.asarray(one_euro_filter(jnp.asarray(x), **kw))
         host = one_euro_filter_np(x, **kw)
         np.testing.assert_allclose(host, dev, atol=2e-5, rtol=2e-5)
+
+
+def test_one_euro_np_preserves_dtype():
+    x32 = np.random.RandomState(1).randn(10, 3).astype(np.float32)
+    assert one_euro_filter_np(x32, mincutoff=0.01, beta=0.7,
+                              freq=100).dtype == np.float32
+    x64 = x32.astype(np.float64)
+    assert one_euro_filter_np(x64, mincutoff=0.01, beta=0.7,
+                              freq=100).dtype == np.float64

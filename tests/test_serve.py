@@ -212,3 +212,38 @@ def test_http_front(pipeline):
     finally:
         front.close()
         server.stop()
+
+
+def test_http_stream_failure_closes_connection(pipeline, monkeypatch):
+    """A mid-stream render failure must drop the connection so the client
+    gets a fast IOError instead of blocking on an unterminated body."""
+    import urllib.request
+    from eamm_tpu.serve_http import HttpRenderFront, encode_request
+    from eamm_tpu.infer import EammPipeline, PipelineOptions
+    ov = EammPipeline(
+        pipeline.config, pipeline.vars,
+        options=PipelineOptions(frame_chunk=8, time_bucket=16,
+                                overlap_segments=2))
+
+    def broken_stream(*a, **kw):
+        yield 0, np.zeros((8, 256, 256, 3), np.uint8)
+        raise RuntimeError("chip fell over")
+
+    monkeypatch.setattr(ov, "render_stream", broken_stream)
+    server = RenderServer(ov, max_batch=1, max_delay_ms=10)
+    front = HttpRenderFront(server)
+    try:
+        body = encode_request(*_req(5))
+        req = urllib.request.Request(front.url + "/render_stream",
+                                     data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            from eamm_tpu.serve_http import iter_stream
+            import http.client
+            segs = []
+            with pytest.raises((IOError, http.client.HTTPException)):
+                for s in iter_stream(resp):
+                    segs.append(s)
+        assert len(segs) <= 1          # got at most the first segment
+    finally:
+        front.close()
+        server.stop()
