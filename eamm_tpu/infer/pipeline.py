@@ -94,6 +94,7 @@ class EammPipeline:
         'emo_detector': ...}."""
         self.config = config
         self._batch_in_sharding = None           # set by use_mesh()
+        self._time_mesh = None                   # set by use_mesh(time_shard=True)
         self.options = options or PipelineOptions()
         if self.options.pallas_warp is None:
             self.options = dataclasses.replace(
@@ -272,6 +273,15 @@ class EammPipeline:
         gen = self.models["generator"]
         n_chunks, F = kv.shape[:2]
         yuv = o.transfer_format == "yuv420"
+        if self._time_mesh is not None:
+            # single-clip sequence parallelism: the frame axis inside each
+            # chunk rides the mesh's 'data' axis — per-frame decode is
+            # independent given keypoints, so XLA only replicates the
+            # (1-batch) source features; frames come back time-sharded
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            cons = NamedSharding(self._time_mesh, P(None, "data"))
+            kv = jax.lax.with_sharding_constraint(kv, cons)
+            kj = jax.lax.with_sharding_constraint(kj, cons)
 
         def render_one_chunk(kp_chunk):
             val, jac = kp_chunk
@@ -532,15 +542,30 @@ class EammPipeline:
             put = jnp.asarray
         return T, (put(src), put(win), put(pos))
 
-    def use_mesh(self, mesh):
+    def use_mesh(self, mesh, time_shard: bool = False):
         """Shard the batched render paths over a device mesh: identities
         ride the 'data' axis, variables replicate, and XLA inserts the ICI
         collectives.  Batch sizes should be multiples of the mesh size.
         Returns self (chainable); sharded == unsharded is asserted by
-        tests/test_sharded_inference.py and test_serve.py."""
+        tests/test_sharded_inference.py and test_serve.py.
+
+        ``time_shard=True`` additionally spreads SINGLE-clip rendering
+        over the mesh: the sequential-cheap kp stage (scan LSTM) computes
+        as usual, and the heavy per-frame generator decode shards its
+        frame axis across devices (frames are independent given keypoints
+        — the moral sequence parallelism for this model family, SURVEY
+        §2.5/§5).  frame_chunk should be a multiple of the mesh size.
+        Implies the XLA warp path (the Pallas kernel is not shard_mapped).
+        """
         from eamm_tpu.parallel import batch_sharding, replicated
         self._batch_in_sharding = batch_sharding(mesh)
         self.vars = jax.device_put(self.vars, replicated(mesh))
+        if time_shard:
+            import dataclasses
+            self._time_mesh = mesh
+            if self.options.pallas_warp:
+                self.options = dataclasses.replace(self.options,
+                                                   pallas_warp=False)
         return self
 
     def render_batch_uint8(self, source_images, waveforms, poses) -> np.ndarray:

@@ -30,3 +30,37 @@ def test_batch_render_sharded_matches_unsharded():
 
     # bit-identical up to uint8 rounding wobble from reduction order
     assert np.abs(sharded.astype(int) - plain.astype(int)).max() <= 1
+
+
+def test_time_sharded_single_clip_matches_unsharded():
+    """use_mesh(time_shard=True): a SINGLE clip's per-frame decode spreads
+    over the mesh (frame axis on 'data'); output must match the
+    single-device render — sequence parallelism for the render hot path."""
+    pipe = EammPipeline.from_random(
+        SMALL_CONFIG, options=PipelineOptions(frame_chunk=8, time_bucket=32))
+    rng = np.random.RandomState(1)
+    src = rng.rand(256, 256, 3).astype(np.float32)
+    wav = (0.1 * rng.randn(16000)).astype(np.float32)
+    pose = rng.randn(1, 7).astype(np.float32)
+    plain = pipe.render_uint8(src, wav, pose, add_emo=False)
+
+    shp = EammPipeline(
+        pipe.config, pipe.vars,
+        options=PipelineOptions(frame_chunk=8, time_bucket=32))
+    mesh = host_cpu_mesh(4)
+    shp.use_mesh(mesh, time_shard=True)
+    assert shp.options.pallas_warp is False
+    with mesh:
+        sharded = shp.render_uint8(src, wav, pose, add_emo=False)
+    assert np.abs(sharded.astype(int) - plain.astype(int)).max() <= 1
+
+    # the overlapped/streaming path composes with time sharding too
+    ov = EammPipeline(
+        pipe.config, pipe.vars,
+        options=PipelineOptions(frame_chunk=8, time_bucket=16,
+                                overlap_segments=2))
+    ov.use_mesh(mesh, time_shard=True)
+    with mesh:
+        segs = list(ov.render_stream(src, wav, pose, add_emo=False))
+    got = np.concatenate([p for _, p in segs], axis=0)
+    assert np.abs(got.astype(int) - plain.astype(int)).max() <= 1
