@@ -109,6 +109,20 @@ def main():
     median_dt = sorted(times)[len(times) // 2]
     fps = n_frames / dt
 
+    # Streaming delivery: time until the FIRST segment (32 frames here) is
+    # on the host — the interactive-playback latency.  Reuses the same
+    # kp-stage/segment programs as the overlapped path (no extra compile).
+    ttfs_best = float("inf")
+    for i in range(3):
+        it = pipe.render_stream(src, wav + 3e-5 * (i + 1), pose,
+                                add_emo=False)
+        t0 = time.time()
+        start0, first_payload = next(it)
+        ttfs_best = min(ttfs_best, time.time() - t0)
+        for _ in it:
+            pass
+    first_frames = first_payload[0].shape[0]
+
     # Compute-only fps (tiny on-device readback forces completion without
     # the bulk transfer): the chip-side capability independent of the
     # host-link phase.
@@ -179,6 +193,8 @@ def main():
                    "median_frames_per_sec": round(n_frames / median_dt, 2),
                    "compute_only_frames_per_sec": round(compute_fps, 2),
                    "delivery_format": "yuv420p (mp4-native, 12bpp)",
+                   "stream_first_segment_ms": round(1e3 * ttfs_best, 1),
+                   "stream_first_segment_frames": int(first_frames),
                    "rgb_uint8_frames_per_sec": round(rgb_fps, 2),
                    "batched_identities": n_id,
                    "batched_frames_per_sec": round(batch_fps, 2),
