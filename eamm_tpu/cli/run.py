@@ -51,6 +51,10 @@ def build_parser() -> ArgumentParser:
                         help="scan K optimizer steps inside one device "
                              "program (amortizes per-dispatch latency; "
                              "numerics match sequential steps)")
+    parser.add_argument("--grad_accum", type=int, default=None,
+                        help="accumulate K micro-batch gradients into one "
+                             "optimizer step (K x effective batch at one "
+                             "micro-batch's activation memory)")
     parser.add_argument("--seed", type=int, default=0)
     # accepted for reference-CLI parity; the mesh uses all visible devices
     parser.add_argument("--device_ids", default="0", type=str)
@@ -74,6 +78,8 @@ def main(argv=None):
         config["train_params"]["compute_dtype"] = opt.compute_dtype
     if opt.steps_per_dispatch:
         config["train_params"]["steps_per_dispatch"] = opt.steps_per_dispatch
+    if opt.grad_accum:
+        config["train_params"]["grad_accum"] = opt.grad_accum
 
     # timestamped log dir with the config copied in for provenance
     # (ref:run.py:47-56)

@@ -105,7 +105,10 @@ def train(config: dict, mode: str, log_dir: str, checkpoint: str | None = None,
              if jax.process_count() > 1 else None)
     loader = DataLoader(repeated, batch_size=tp["batch_size"], seed=seed,
                         shard=shard)
-    steps_per_epoch = max(1, len(loader))
+    # optimizer steps per epoch: with grad_accum K, K loader micro-batches
+    # make ONE optimizer step (the lr schedule counts optimizer steps)
+    k_accum = max(1, int(tp.get("grad_accum", 1)))
+    steps_per_epoch = max(1, len(loader) // k_accum)
 
     sched = dict(milestones_epochs=tp.get("epoch_milestones", (60, 90)),
                  steps_per_epoch=steps_per_epoch)
@@ -231,7 +234,21 @@ def train(config: dict, mode: str, log_dir: str, checkpoint: str | None = None,
                                      shuffle=False, seed=seed, shard=shard)
     except (FileNotFoundError, OSError):
         pass
-    eval_step = jax.jit(step_fn)
+    # Gradient accumulation (train_params.grad_accum): each optimizer step
+    # consumes K loader micro-batches stacked on a leading axis and applies
+    # one update from their mean gradient — K× the effective batch at one
+    # micro-batch's activation memory (the fine-tune step is HBM-bound).
+    if k_accum > 1 and int(tp.get("steps_per_dispatch", 1)) > 1:
+        raise ValueError("grad_accum and steps_per_dispatch cannot be "
+                         "combined (pick one dispatch-amortization axis)")
+    if k_accum > 1:
+        # the eval loop runs on plain (unstacked) batches
+        eval_params = dict(tp, grad_accum=1)
+        make = S.make_part2_step if mode == "train_part2" \
+            else S.make_part1_step
+        eval_step = jax.jit(make(models, eval_params, optimizer))
+    else:
+        eval_step = jax.jit(step_fn)
     # Multi-step dispatch: scan K optimizer steps inside ONE device program
     # (train_params.steps_per_dispatch) — each host->device dispatch round
     # trip otherwise costs as much as a small step's compute (part1:
@@ -287,6 +304,14 @@ def train(config: dict, mode: str, log_dir: str, checkpoint: str | None = None,
             state = jax.device_put(state, replicated(mesh))
             for epoch in range(num_epochs):
                 batch_iter = iter(loader)
+                if k_accum > 1:
+                    def accum_iter(it, k=k_accum):
+                        while True:
+                            g = list(itertools.islice(it, k))
+                            if len(g) < k:      # drop the short tail: a
+                                return          # partial mean would change
+                            yield S.stack_host_batches(g)   # the step size
+                    batch_iter = accum_iter(batch_iter)
                 while True:
                     take = spd
                     if max_steps is not None:
@@ -304,9 +329,14 @@ def train(config: dict, mode: str, log_dir: str, checkpoint: str | None = None,
                         # single-step program — no extra scan-length compiles
                         metrics_list = []
                         for b in group:
-                            state, m = step_fn(state, shard_batch(b, mesh))
+                            sharded = (shard_stacked_batch(b, mesh)
+                                       if k_accum > 1
+                                       else shard_batch(b, mesh))
+                            state, m = step_fn(state, sharded)
                             metrics_list.append(m)
                     batch_host = group[-1]
+                    if k_accum > 1:     # viz/eval shapes want one micro-batch
+                        batch_host = {k: v[0] for k, v in batch_host.items()}
                     prev_total = total
                     total += len(group)
                     step_num = start_step + total

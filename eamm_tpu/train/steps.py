@@ -268,19 +268,55 @@ def _make_part1_loss(models: dict, train_params: dict) -> Callable:
     return loss_fn
 
 
+def _accum_grads(loss_fn, trainable, frozen, batch_stats, stacked_batch):
+    """Gradient accumulation: scan K stacked micro-batches, mean the
+    gradients, carry the BatchNorm statistics through (each micro-batch
+    sees the previous one's running stats — the same semantics as K
+    sequential forward passes).  Memory stays at one micro-batch's
+    activations; only the gradient pytree (parameter-sized) accumulates.
+
+    stacked_batch leaves: [K, B_micro, ...].  Returns (mean grads,
+    final batch_stats, mean metrics)."""
+    gfun = jax.grad(loss_fn, has_aux=True)
+    zeros = jax.tree.map(jnp.zeros_like, trainable)
+
+    def micro(carry, mb):
+        stats, gsum = carry
+        grads, aux = gfun(trainable, frozen, stats, decode_and_augment(mb))
+        metrics, new_stats = aux[0], aux[1]
+        return (new_stats, jax.tree.map(jnp.add, gsum, grads)), metrics
+
+    (stats, gsum), ms = jax.lax.scan(micro, (batch_stats, zeros),
+                                     stacked_batch)
+    k = jax.tree.leaves(stacked_batch)[0].shape[0]
+    grads = jax.tree.map(lambda g: g / k, gsum)
+    return grads, stats, {name: v.mean(0) for name, v in ms.items()}
+
+
 def make_part1_step(models: dict, train_params: dict,
                     optimizer) -> Callable:
     """Build the part1 / fine-tune step function.
 
     train_params keys used: loss_weights{audio, perceptual, generator_gan},
     generator ('not'|'visual'|'audio'), scales (ref:config/train_part1.yaml).
+    With ``grad_accum: K`` > 1 the step takes a STACKED batch
+    ([K, B_micro, ...], `stack_host_batches`) and applies one optimizer
+    update from the mean of K micro-batch gradients — K× the effective
+    batch at one micro-batch's activation memory.
     """
     loss_fn = _make_part1_loss(models, train_params)
+    k_accum = max(1, int(train_params.get("grad_accum", 1)))
 
     def step(state: Part1State, batch: dict):
-        batch = decode_and_augment(batch)
-        grads, (metrics, new_stats, _) = jax.grad(loss_fn, has_aux=True)(
-            state.trainable, state.frozen, state.batch_stats, batch)
+        if k_accum > 1:
+            grads, new_stats, metrics = _accum_grads(
+                loss_fn, state.trainable, state.frozen, state.batch_stats,
+                batch)
+        else:
+            batch = decode_and_augment(batch)
+            grads, (metrics, new_stats, _) = jax.grad(
+                loss_fn, has_aux=True)(state.trainable, state.frozen,
+                                       state.batch_stats, batch)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)
@@ -337,6 +373,11 @@ def make_part1_gan_step(models: dict, train_params: dict, optimizer,
     alternation (ref:train.py:175-185; ref:modules/model.py:557-591):
     the generator side sees the current discriminator frozen; the
     discriminator then trains on the freshly generated frame."""
+    if int(train_params.get("grad_accum", 1)) > 1:
+        raise ValueError(
+            "grad_accum is not supported for GAN fine-tune: the alternating "
+            "discriminator step consumes each micro-batch's generator "
+            "output, so accumulation would change the adversarial game")
     loss_fn = _make_part1_loss(models, train_params)
     disc_step = make_discriminator_step(models, train_params, disc_optimizer)
 
@@ -557,10 +598,17 @@ def make_part2_step(models: dict, train_params: dict, optimizer) -> Callable:
         new_stats["emo_detector"] = emo_updates["batch_stats"]
         return total, (metrics, new_stats)
 
+    k_accum = max(1, int(train_params.get("grad_accum", 1)))
+
     def step(state: Part2State, batch: dict):
-        batch = decode_and_augment(batch)
-        grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(
-            state.trainable, state.frozen, state.batch_stats, batch)
+        if k_accum > 1:
+            grads, new_stats, metrics = _accum_grads(
+                loss_fn, state.trainable, state.frozen, state.batch_stats,
+                batch)
+        else:
+            batch = decode_and_augment(batch)
+            grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(
+                state.trainable, state.frozen, state.batch_stats, batch)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)

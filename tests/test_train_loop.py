@@ -191,3 +191,25 @@ def test_async_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(got["trainable"]["w"],
                                       trees[s]["trainable"]["w"])
         assert int(got["step"]) == s
+
+
+def test_train_loop_grad_accum(lrw_root, tmp_path):
+    """train() with grad_accum=2: each optimizer step consumes two loader
+    micro-batches; artifacts and resume stay intact."""
+    cfg = json.loads(json.dumps(SMALL_CONFIG))
+    cfg["dataset_params"]["root_dir"] = lrw_root
+    cfg["train_params"]["grad_accum"] = 2
+    log_dir = str(tmp_path / "log")
+    state = train(cfg, "train_part1", log_dir, max_steps=2)
+    assert int(state.step) == 2
+    scalars = read_scalars(os.path.join(log_dir, "scalars.jsonl"))
+    assert any(k.endswith("loss_value") for k in scalars)
+
+
+def test_grad_accum_rejects_gan_and_spd(lrw_root, tmp_path):
+    cfg = json.loads(json.dumps(SMALL_CONFIG))
+    cfg["dataset_params"]["root_dir"] = lrw_root
+    cfg["train_params"].update({"grad_accum": 2, "steps_per_dispatch": 2})
+    import pytest
+    with pytest.raises(ValueError, match="grad_accum"):
+        train(cfg, "train_part1", str(tmp_path / "log"), max_steps=1)

@@ -151,3 +151,49 @@ def test_multi_step_matches_sequential():
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=0, atol=5e-3),
         s_seq.batch_stats, s_multi.batch_stats)
+
+
+def test_grad_accum_matches_mean_gradient():
+    """grad_accum=2: one accumulated step == one optimizer update from the
+    MEAN of the two micro-batch gradients with BN stats carried through
+    (the exact semantics _accum_grads documents)."""
+    import optax
+    from eamm_tpu.train.steps import (_make_part1_loss, stack_host_batches,
+                                      Part1State)
+    models = small_models()
+    opt = make_optimizer(lr=1e-3)
+    b1, b2 = part1_batch(0), part1_batch(1)
+    init_b = jax.tree.map(jnp.asarray, b1)
+    state = init_part1_state(jax.random.PRNGKey(0), models, init_b, opt)
+
+    params = dict(TRAIN_PARAMS, grad_accum=2)
+    astep = jax.jit(make_part1_step(models, params, opt))
+    stacked = jax.tree.map(jnp.asarray, stack_host_batches([b1, b2]))
+    new_state, metrics = astep(state, stacked)
+    assert np.isfinite(float(metrics["total"]))
+    assert int(new_state.step) == 1          # ONE optimizer step
+
+    # manual composition: grads of each micro-batch (stats carried), mean,
+    # one optax update
+    loss_fn = _make_part1_loss(models, TRAIN_PARAMS)
+    g1, (_, stats1, _) = jax.grad(loss_fn, has_aux=True)(
+        state.trainable, state.frozen, state.batch_stats,
+        jax.tree.map(jnp.asarray, b1))
+    g2, (_, stats2, _) = jax.grad(loss_fn, has_aux=True)(
+        state.trainable, state.frozen, stats1,
+        jax.tree.map(jnp.asarray, b2))
+    mean_g = jax.tree.map(lambda a, b: (a + b) / 2.0, g1, g2)
+    updates, _ = opt.update(mean_g, state.opt_state, state.trainable)
+    want = optax.apply_updates(state.trainable, updates)
+
+    flat_a = jax.tree.leaves(new_state.trainable)
+    flat_w = jax.tree.leaves(want)
+    for a, w in zip(flat_a, flat_w):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(w),
+                                   atol=5e-3, rtol=1e-3)
+    # carried BN stats equal the sequential composition
+    sa = jax.tree.leaves(new_state.batch_stats)
+    sw = jax.tree.leaves(stats2)
+    for a, w in zip(sa, sw):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(w),
+                                   atol=1e-5, rtol=1e-5)
