@@ -1,0 +1,224 @@
+"""Serialized render artifacts: the deployment path.
+
+The reference ships inference as "clone the repo + torch checkpoints +
+rebuild every module in demo.py" (ref:demo.py:54-95).  The TPU-native
+deployment unit here is a single portable file holding the COMPILED render
+program (StableHLO via ``jax.export``, versioned and platform-checked) plus
+the converted weights — a serving host loads it and renders without model
+definitions, checkpoint converters, or config files, and with zero retrace
+risk (the program is frozen at export time).
+
+Artifact layout (one ``zipfile``):
+
+- ``meta.json``    — format version, options, input/output specs, platforms
+- ``programs/NxT.bin`` — ``jax.export`` serialization of the batched render
+  program at identity-batch N and padded clip length T (one entry per
+  exported shape bucket; the loader picks the smallest bucket that fits)
+- ``vars.npz``     — flattened model variables (nested dicts of arrays,
+  keys joined with '|')
+
+The exported function is ``EammPipeline._batch_render_impl``
+(vars, sources [N,256,256,3] f32, mfcc windows [N,T,28,12], pose [N,T,6])
+-> uint8 frames [N,T,256,256,3] (or yuv420 planes, per pipeline options) —
+the serving hot path.  Audio -> MFCC windows and pose preparation stay
+host-side (`RenderArtifact.render_uint8` wraps them).
+"""
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+
+import numpy as np
+
+FORMAT_VERSION = 1
+
+
+def _flatten_vars(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}|{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten_vars(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten_vars(flat: dict) -> dict:
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split("|")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def export_render_artifact(pipeline, path: str, batch: int = 1,
+                           frame_buckets=(128,), platforms=None) -> dict:
+    """Export ``pipeline``'s batched render program + weights to ``path``.
+
+    batch: identity-batch size N of the exported program.
+    frame_buckets: padded clip lengths (frames) to export, one program per
+      bucket; each must be a multiple of the pipeline's chunk bucketing.
+    platforms: jax.export lowering platforms, e.g. ("tpu",) or
+      ("tpu", "cpu").  Default: the current backend only.  Cross-platform
+      lowering does not require the target device to be attached, but the
+      Pallas warp kernel only lowers for TPU — exports that include "cpu"
+      must use a pipeline with ``pallas_warp=False``.
+
+    Returns the meta dict written into the artifact.
+    """
+    import jax
+    from jax import export as jex
+
+    o = pipeline.options
+    if platforms is None:
+        platforms = (jax.default_backend(),)
+    platforms = tuple(platforms)
+    if "cpu" in platforms and o.pallas_warp:
+        raise ValueError(
+            "pallas_warp pipelines cannot lower for the cpu platform; "
+            "export with platforms=('tpu',) or pallas_warp=False")
+
+    chunk = pipeline._batch_chunk(batch)
+    for t in frame_buckets:
+        if t % chunk:
+            raise ValueError(f"frame bucket {t} is not a multiple of the "
+                             f"render chunk {chunk} at batch {batch}")
+
+    vars_np = _flatten_vars(pipeline.vars)
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "batch": int(batch),
+        "frame_buckets": [int(t) for t in frame_buckets],
+        "platforms": list(platforms),
+        "transfer_format": o.transfer_format,
+        "compute_dtype": np.dtype(o.compute_dtype).name
+        if o.compute_dtype is not None else "float32",
+        "smooth_pose": bool(o.smooth_pose),
+        "frame_chunk": int(chunk),
+        "inputs": "sources [N,256,256,3] f32 in [0,1]; "
+                  "mfcc_windows [N,T,28,12] f32; pose [N,T,6] f32",
+        "outputs": "uint8 frames [N,T,256,256,3]"
+        if o.transfer_format == "rgb" else
+        "uint8 yuv420 planes (y [N,T,256,256], u/v [N,T,128,128])",
+    }
+
+    def make_args(t):
+        return (pipeline.vars,
+                np.zeros((batch, 256, 256, 3), np.float32),
+                np.zeros((batch, t, 28, 12), np.float32),
+                np.zeros((batch, t, 6), np.float32))
+
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("meta.json", json.dumps(meta, indent=1))
+        buf = io.BytesIO()
+        np.savez(buf, **vars_np)
+        z.writestr("vars.npz", buf.getvalue())
+        for t in frame_buckets:
+            exp = jex.export(jax.jit(pipeline._batch_render_impl),
+                             platforms=platforms)(*make_args(t))
+            z.writestr(f"programs/{batch}x{t}.bin", exp.serialize())
+    return meta
+
+
+class RenderArtifact:
+    """A loaded render artifact: frozen program(s) + weights.
+
+    ``load`` needs only jax + numpy (no model code, converters, or config).
+    """
+
+    def __init__(self, meta: dict, programs: dict, variables: dict):
+        self.meta = meta
+        self._programs = programs          # {padded_frames: Exported}
+        self.vars = variables
+        self.batch = int(meta["batch"])
+        self.frame_buckets = sorted(int(t) for t in meta["frame_buckets"])
+
+    @classmethod
+    def load(cls, path: str) -> "RenderArtifact":
+        from jax import export as jex
+        with zipfile.ZipFile(path) as z:
+            meta = json.loads(z.read("meta.json"))
+            if meta["format_version"] > FORMAT_VERSION:
+                raise ValueError(
+                    f"artifact format {meta['format_version']} is newer "
+                    f"than this loader ({FORMAT_VERSION})")
+            flat = dict(np.load(io.BytesIO(z.read("vars.npz"))))
+            programs = {}
+            for t in meta["frame_buckets"]:
+                name = f"programs/{meta['batch']}x{t}.bin"
+                programs[int(t)] = jex.deserialize(z.read(name))
+        return cls(meta, programs, _unflatten_vars(flat))
+
+    def bucket_for(self, frames: int) -> int:
+        for t in self.frame_buckets:
+            if frames <= t:
+                return t
+        raise ValueError(f"clip of {frames} frames exceeds the largest "
+                         f"exported bucket ({self.frame_buckets[-1]})")
+
+    def render(self, sources: np.ndarray, mfcc_windows: np.ndarray,
+               pose: np.ndarray):
+        """Run the frozen program on already-prepared inputs.
+
+        Inputs must match the exported batch; the time axis pads up to the
+        matching bucket.  Returns the program output (uint8 frames, or
+        yuv420 planes when exported with transfer_format='yuv420') — callers
+        trim padding with the returned slice length.
+        """
+        n, t = mfcc_windows.shape[:2]
+        if n != self.batch:
+            raise ValueError(f"artifact was exported at batch "
+                             f"{self.batch}, got {n}")
+        tp = self.bucket_for(t)
+        if tp != t:
+            mfcc_windows = np.pad(mfcc_windows,
+                                  ((0, 0), (0, tp - t), (0, 0), (0, 0)))
+            pose = np.pad(pose, ((0, 0), (0, tp - t), (0, 0)))
+        out = self._programs[tp].call(self.vars,
+                                      np.asarray(sources, np.float32),
+                                      mfcc_windows.astype(np.float32),
+                                      pose.astype(np.float32))
+        return out, t
+
+    def render_uint8(self, sources, waveforms, poses) -> np.ndarray:
+        """Full convenience path: raw waveforms -> delivered uint8 frames
+        [N, T, 256, 256, 3] (host-side MFCC windows + pose preparation,
+        then the frozen program; rgb artifacts only)."""
+        if self.meta["transfer_format"] != "rgb":
+            raise ValueError("render_uint8 requires an rgb-format artifact")
+        from eamm_tpu.infer.pipeline import _jit_audio_windows
+        windows = [np.asarray(_jit_audio_windows(np.asarray(w, np.float32)))
+                   for w in waveforms]
+        t = max(w.shape[0] for w in windows)
+        n = len(windows)
+        win = np.zeros((n, t, 28, 12), np.float32)
+        pos = np.zeros((n, t, 6), np.float32)
+        for i, w in enumerate(windows):
+            win[i, :w.shape[0]] = w
+            pos[i, :w.shape[0]] = _prepare_pose(
+                np.asarray(poses[i], np.float32), w.shape[0],
+                smooth=self.meta.get("smooth_pose", True))
+        out, t = self.render(np.asarray(sources, np.float32), win, pos)
+        return np.asarray(out)[:, :t]
+
+
+def _prepare_pose(all_pose: np.ndarray, t: int, smooth: bool) -> np.ndarray:
+    """Host-side pose tiling/smoothing, matching
+    EammPipeline.prepare_pose (ref:demo.py:297-341)."""
+    from eamm_tpu.ops.filters import one_euro_filter_np
+    pose = np.asarray(all_pose, np.float32).reshape(-1, 7)[:, :6]
+    if len(pose) == 1:
+        pose = np.repeat(pose, 100, 0)
+    elif smooth:
+        pose = one_euro_filter_np(pose, mincutoff=0.004, beta=0.7, freq=100)
+    if len(pose) < t:
+        gap = t - len(pose)
+        n = int(gap / len(pose) / 2) + 2
+        pose = np.concatenate([pose, pose[::-1, :]], axis=0)
+        pose = np.tile(pose, (n, 1))
+    return pose[:t]

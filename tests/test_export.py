@@ -1,0 +1,112 @@
+"""Serialized render artifacts (jax.export): roundtrip, bucketing, errors.
+
+The artifact freezes the batched render program + weights into one file;
+loading needs no model code.  The frozen program must reproduce the live
+pipeline bit-for-bit (same XLA program, same platform).
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from eamm_tpu.infer import (EammPipeline, PipelineOptions,
+                            RenderArtifact, export_render_artifact)
+
+TINY_CONFIG = {
+    "model_params": {
+        "common_params": {"num_kp": 10, "num_channels": 3,
+                          "estimate_jacobian": True},
+        "audio_params": {"num_kp": 10, "num_channels": 3, "num_channels_a": 3,
+                         "estimate_jacobian": True},
+        "kp_detector_params": {"temperature": 0.1, "block_expansion": 16,
+                               "max_features": 64, "scale_factor": 0.25,
+                               "num_blocks": 5},
+        "generator_params": {"block_expansion": 16, "max_features": 64,
+                             "num_down_blocks": 2, "num_bottleneck_blocks": 1,
+                             "estimate_occlusion_map": True,
+                             "dense_motion_params": {
+                                 "block_expansion": 16, "max_features": 64,
+                                 "num_blocks": 5, "scale_factor": 0.25}},
+        "discriminator_params": {"scales": [1], "block_expansion": 16,
+                                 "max_features": 64, "num_blocks": 4,
+                                 "sn": True},
+    },
+    "train_params": {"jaco_net": "cnn"},
+}
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    return EammPipeline.from_random(
+        TINY_CONFIG, options=PipelineOptions(frame_chunk=8, time_bucket=8,
+                                             add_emo=False))
+
+
+@pytest.fixture(scope="module")
+def artifact_path(pipeline, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("export") / "model.eammx")
+    meta = export_render_artifact(pipeline, path, batch=1,
+                                  frame_buckets=(8, 16))
+    assert meta["frame_buckets"] == [8, 16]
+    return path
+
+
+def test_artifact_roundtrip_bitexact(pipeline, artifact_path):
+    art = RenderArtifact.load(artifact_path)
+    rng = np.random.RandomState(0)
+    src = rng.rand(1, 256, 256, 3).astype(np.float32)
+    win = rng.randn(1, 8, 28, 12).astype(np.float32)
+    pos = rng.randn(1, 8, 6).astype(np.float32)
+    out, t = art.render(src, win, pos)
+    assert t == 8
+    live = np.asarray(pipeline._batch_render(pipeline.vars, src, win, pos))
+    np.testing.assert_array_equal(np.asarray(out), live)
+
+
+def test_artifact_bucket_padding(artifact_path):
+    """A 12-frame clip rides the 16 bucket; caller trims with t."""
+    art = RenderArtifact.load(artifact_path)
+    rng = np.random.RandomState(1)
+    src = rng.rand(1, 256, 256, 3).astype(np.float32)
+    win = rng.randn(1, 12, 28, 12).astype(np.float32)
+    pos = rng.randn(1, 12, 6).astype(np.float32)
+    out, t = art.render(src, win, pos)
+    assert t == 12 and np.asarray(out).shape[1] == 16
+    assert art.bucket_for(3) == 8
+    with pytest.raises(ValueError, match="largest exported bucket"):
+        art.bucket_for(17)
+
+
+def test_artifact_render_uint8_matches_pipeline(pipeline, artifact_path):
+    """Full convenience path (waveform in, delivered frames out) matches
+    the live pipeline: causal kp scan + per-frame decode make delivered
+    frames independent of padding length."""
+    art = RenderArtifact.load(artifact_path)
+    rng = np.random.RandomState(2)
+    src = rng.rand(1, 256, 256, 3).astype(np.float32)
+    wav = [(0.1 * rng.randn(4000)).astype(np.float32)]
+    pose = [rng.randn(1, 7).astype(np.float32)]
+    got = art.render_uint8(src, wav, pose)
+    want = pipeline.render_batch_uint8(src, wav, pose)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_artifact_errors(pipeline, artifact_path, tmp_path):
+    art = RenderArtifact.load(artifact_path)
+    rng = np.random.RandomState(3)
+    with pytest.raises(ValueError, match="batch"):
+        art.render(rng.rand(2, 256, 256, 3).astype(np.float32),
+                   rng.randn(2, 8, 28, 12).astype(np.float32),
+                   rng.randn(2, 8, 6).astype(np.float32))
+    # bucket must be a multiple of the render chunk
+    with pytest.raises(ValueError, match="multiple"):
+        export_render_artifact(pipeline, str(tmp_path / "bad.eammx"),
+                               batch=1, frame_buckets=(12,))
+    # pallas kernels cannot lower for cpu
+    ppipe = EammPipeline(pipeline.config, pipeline.vars,
+                         options=dataclasses.replace(pipeline.options,
+                                                     pallas_warp=True))
+    with pytest.raises(ValueError, match="pallas"):
+        export_render_artifact(ppipe, str(tmp_path / "p.eammx"),
+                               batch=1, frame_buckets=(8,),
+                               platforms=("tpu", "cpu"))
