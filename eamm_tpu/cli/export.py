@@ -28,6 +28,14 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--platforms", nargs="+", default=None,
                    help="lowering platforms (default: current backend), "
                         "e.g. --platforms tpu cpu")
+    p.add_argument("--emotional", action="store_true",
+                   help="also export single-clip emotional (add_emo) render "
+                        "programs, one per --frames x --emo_frames bucket")
+    p.add_argument("--emo_frames", type=int, nargs="+", default=[32],
+                   help="padded unique-emotion-frame buckets (--emotional)")
+    p.add_argument("--emo_type", default="linear_3",
+                   help="emotion head for the emotional programs "
+                        "(demo --type, ref:demo.py:549)")
     p.add_argument("--transfer_format", choices=["rgb", "yuv420"],
                    default="rgb")
     p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
@@ -47,7 +55,8 @@ def main(argv=None):
         config = yaml.safe_load(f)
     pallas = {"auto": None, "on": True, "off": False}[opt.pallas_warp]
     options = PipelineOptions(
-        add_emo=False, transfer_format=opt.transfer_format,
+        add_emo=opt.emotional, emo_type=opt.emo_type,
+        transfer_format=opt.transfer_format,
         compute_dtype=jnp.bfloat16 if opt.compute_dtype == "bfloat16"
         else jnp.float32,
         pallas_warp=pallas)
@@ -56,7 +65,8 @@ def main(argv=None):
         options=options)
     meta = export_render_artifact(
         pipe, opt.out, batch=opt.batch, frame_buckets=tuple(opt.frames),
-        platforms=tuple(opt.platforms) if opt.platforms else None)
+        platforms=tuple(opt.platforms) if opt.platforms else None,
+        emotional=opt.emotional, emo_frame_buckets=tuple(opt.emo_frames))
     print(json.dumps(meta))
 
 

@@ -57,7 +57,9 @@ def _unflatten_vars(flat: dict) -> dict:
 
 
 def export_render_artifact(pipeline, path: str, batch: int = 1,
-                           frame_buckets=(128,), platforms=None) -> dict:
+                           frame_buckets=(128,), platforms=None,
+                           emotional: bool = False,
+                           emo_frame_buckets=(32,)) -> dict:
     """Export ``pipeline``'s batched render program + weights to ``path``.
 
     batch: identity-batch size N of the exported program.
@@ -68,6 +70,13 @@ def export_render_artifact(pipeline, path: str, batch: int = 1,
       lowering does not require the target device to be attached, but the
       Pallas warp kernel only lowers for TPU — exports that include "cpu"
       must use a pipeline with ``pallas_warp=False``.
+    emotional: also export single-clip emotional render programs (one per
+      clip-length x emotion-frame-count bucket pair) — the full add_emo
+      path (ref:demo.py:512) with an explicit timestep->frame index so the
+      emotion-frame axis pads to ``emo_frame_buckets`` without changing the
+      cycling semantics.  Emotional requests are singletons (their delivery
+      cadence can't share a coalesced batch — same policy as RenderServer).
+    emo_frame_buckets: padded UNIQUE-emotion-frame counts to export.
 
     Returns the meta dict written into the artifact.
     """
@@ -88,6 +97,12 @@ def export_render_artifact(pipeline, path: str, batch: int = 1,
         if t % chunk:
             raise ValueError(f"frame bucket {t} is not a multiple of the "
                              f"render chunk {chunk} at batch {batch}")
+    if emotional:
+        for t in frame_buckets:
+            if t % o.frame_chunk:
+                raise ValueError(
+                    f"frame bucket {t} is not a multiple of the single-clip "
+                    f"render chunk {o.frame_chunk} (emotional programs)")
 
     vars_np = _flatten_vars(pipeline.vars)
     meta = {
@@ -105,6 +120,14 @@ def export_render_artifact(pipeline, path: str, batch: int = 1,
         "outputs": "uint8 frames [N,T,256,256,3]"
         if o.transfer_format == "rgb" else
         "uint8 yuv420 planes (y [N,T,256,256], u/v [N,T,128,128])",
+        "emotional": {
+            "frame_buckets": [int(t) for t in frame_buckets],
+            "emo_frame_buckets": [int(u) for u in emo_frame_buckets],
+            "emo_type": o.emo_type,
+            "inputs": "source [1,256,256,3] f32; mfcc_windows [T,28,12] "
+                      "f32; pose [T,6] f32; emotion_frames [U,256,256,3] "
+                      "f32 (mouth-masked, aligned); frame_index [T] i32",
+        } if emotional else None,
     }
 
     def make_args(t):
@@ -122,6 +145,19 @@ def export_render_artifact(pipeline, path: str, batch: int = 1,
             exp = jex.export(jax.jit(pipeline._batch_render_impl),
                              platforms=platforms)(*make_args(t))
             z.writestr(f"programs/{batch}x{t}.bin", exp.serialize())
+        if emotional:
+            for t in frame_buckets:
+                for u in emo_frame_buckets:
+                    exp = jex.export(
+                        jax.jit(pipeline._emo_render_from_windows_impl),
+                        platforms=platforms)(
+                        pipeline.vars,
+                        np.zeros((1, 256, 256, 3), np.float32),
+                        np.zeros((t, 28, 12), np.float32),
+                        np.zeros((t, 6), np.float32),
+                        np.zeros((u, 256, 256, 3), np.float32),
+                        np.zeros((t,), np.int32))
+                    z.writestr(f"programs/emo_{t}x{u}.bin", exp.serialize())
     return meta
 
 
@@ -131,9 +167,11 @@ class RenderArtifact:
     ``load`` needs only jax + numpy (no model code, converters, or config).
     """
 
-    def __init__(self, meta: dict, programs: dict, variables: dict):
+    def __init__(self, meta: dict, programs: dict, variables: dict,
+                 emo_programs: dict | None = None):
         self.meta = meta
         self._programs = programs          # {padded_frames: Exported}
+        self._emo_programs = emo_programs or {}   # {(T, U): Exported}
         self.vars = variables
         self.batch = int(meta["batch"])
         self.frame_buckets = sorted(int(t) for t in meta["frame_buckets"])
@@ -152,7 +190,14 @@ class RenderArtifact:
             for t in meta["frame_buckets"]:
                 name = f"programs/{meta['batch']}x{t}.bin"
                 programs[int(t)] = jex.deserialize(z.read(name))
-        return cls(meta, programs, _unflatten_vars(flat))
+            emo_programs = {}
+            emo = meta.get("emotional")
+            if emo:
+                for t in emo["frame_buckets"]:
+                    for u in emo["emo_frame_buckets"]:
+                        emo_programs[(int(t), int(u))] = jex.deserialize(
+                            z.read(f"programs/emo_{t}x{u}.bin"))
+        return cls(meta, programs, _unflatten_vars(flat), emo_programs)
 
     def bucket_for(self, frames: int) -> int:
         for t in self.frame_buckets:
@@ -184,6 +229,53 @@ class RenderArtifact:
                                       mfcc_windows.astype(np.float32),
                                       pose.astype(np.float32))
         return out, t
+
+    def render_emotional(self, source: np.ndarray, mfcc_windows: np.ndarray,
+                         pose: np.ndarray, emotion_frames: np.ndarray):
+        """Run the frozen emotional program on prepared inputs.
+
+        source [256,256,3] (or [1,256,256,3]); mfcc_windows [T,28,12];
+        pose [T,6]; emotion_frames [U,256,256,3] f32 mouth-masked aligned
+        unique frames (the program cycles them over the clip,
+        ref:demo.py:499-500).  Returns (program output, delivered T).
+        """
+        if not self._emo_programs:
+            raise ValueError("artifact was exported without emotional "
+                             "programs (export with emotional=True)")
+        t = mfcc_windows.shape[0]
+        tp = self.bucket_for(t)
+        u = min(emotion_frames.shape[0], tp)     # frames past Tp never play
+        ubuckets = sorted(self.meta["emotional"]["emo_frame_buckets"])
+        up = next((b for b in ubuckets if u <= b), None)
+        if up is None:
+            raise ValueError(f"{u} emotion frames exceed the largest "
+                             f"exported bucket ({ubuckets[-1]})")
+        frame_index = (np.arange(tp) % u).astype(np.int32)
+        frames = np.zeros((up, 256, 256, 3), np.float32)
+        frames[:u] = np.asarray(emotion_frames, np.float32)[:u]
+        win = np.zeros((tp, 28, 12), np.float32)
+        win[:t] = mfcc_windows
+        pos = np.zeros((tp, 6), np.float32)
+        pos[:t] = pose
+        out = self._emo_programs[(tp, up)].call(
+            self.vars, np.asarray(source, np.float32).reshape(1, 256, 256, 3),
+            win, pos, frames, frame_index)
+        return out, t
+
+    def render_emotional_uint8(self, source, waveform, pose,
+                               emotion_frames) -> np.ndarray:
+        """Full emotional convenience path: raw waveform + raw pose ->
+        delivered uint8 frames [T, 256, 256, 3] (rgb artifacts only)."""
+        if self.meta["transfer_format"] != "rgb":
+            raise ValueError("render_emotional_uint8 requires an rgb-format "
+                             "artifact")
+        from eamm_tpu.infer.pipeline import _jit_audio_windows
+        win = np.asarray(_jit_audio_windows(np.asarray(waveform, np.float32)))
+        t = win.shape[0]
+        pos = _prepare_pose(np.asarray(pose, np.float32), t,
+                            smooth=self.meta.get("smooth_pose", True))
+        out, t = self.render_emotional(source, win, pos, emotion_frames)
+        return np.asarray(out)[:t]
 
     def render_uint8(self, sources, waveforms, poses) -> np.ndarray:
         """Full convenience path: raw waveforms -> delivered uint8 frames

@@ -219,15 +219,27 @@ class EammPipeline:
         raw waveform -> MFCC -> A2FD -> audio kp -> smoothing -> (emotion
         displacement) -> relative normalization.  Returns (kp_norm over Tp,
         kp_source without heatmap)."""
-        o = self.options
         Tp = pose.shape[0]
+        mfcc_windows = audio_to_mfcc_windows(waveform)[:Tp]
+        return self._clip_kp_from_windows_impl(
+            variables, source_image, mfcc_windows, pose, transformed_frames,
+            add_emo)
+
+    def _clip_kp_from_windows_impl(self, variables, source_image,
+                                   mfcc_windows, pose, transformed_frames,
+                                   add_emo: bool, frame_index=None):
+        """Clip keypoints from precomputed MFCC windows.  ``frame_index``
+        (optional [Tp] int32) maps timestep -> emotion-frame row explicitly;
+        when None it is derived from the frame count (the live path).  An
+        explicit index makes the program exportable at a fixed emotion-frame
+        bucket: padding rows are never referenced."""
+        o = self.options
         if transformed_frames.dtype == jnp.uint8:
             # production upload format: the host ships emotion frames as
             # uint8 (4x fewer bytes over the ~30 MB/s host->device link)
             # and the program rescales on device
             transformed_frames = transformed_frames.astype(jnp.float32) \
                 * jnp.float32(1.0 / 255.0)
-        mfcc_windows = audio_to_mfcc_windows(waveform)[:Tp]
         kp_source, kp_audio, kp_initial, _ = self._audio_kp_stage_impl(
             variables, source_image, mfcc_windows, pose)
         if o.check_add:
@@ -237,10 +249,11 @@ class EammPipeline:
                         for k, v in kp_audio.items()}
         if add_emo:
             Tp = kp_audio["value"].shape[0]
-            U = transformed_frames.shape[0]
-            frame_index = jnp.arange(Tp) % U if U < Tp else None
             if frame_index is None:
-                transformed_frames = transformed_frames[:Tp]
+                U = transformed_frames.shape[0]
+                frame_index = jnp.arange(Tp) % U if U < Tp else None
+                if frame_index is None:
+                    transformed_frames = transformed_frames[:Tp]
             emo = self._emotion_stage_impl(
                 variables, transformed_frames,
                 kp_audio["value"], kp_audio["jacobian"],
@@ -322,10 +335,14 @@ class EammPipeline:
         trip.  transformed_frames: [Tp, 256, 256, 3] (ignored unless
         add_emo).  Returns uint8 [Tp, 256, 256, 3] (or yuv420 planes).
         """
-        o = self.options
         kp_norm, kp_s_f32 = self._clip_kp_impl(
             variables, source_image, waveform, pose, transformed_frames,
             add_emo)
+        return self._decode_clip(variables, source_image, kp_norm, kp_s_f32)
+
+    def _decode_clip(self, variables, source_image, kp_norm, kp_s_f32):
+        """Chunked whole-clip decode from normalized keypoints (the heavy,
+        parallel part shared by the fused and exported programs)."""
         gvars, dt = self._cast_generator(variables)
         src = source_image.astype(dt)
         gen = self.models["generator"]
@@ -333,11 +350,24 @@ class EammPipeline:
         kp_s = {k: v.astype(dt) for k, v in kp_s_f32.items()}
 
         Tp = kp_norm["value"].shape[0]
-        F = o.frame_chunk
+        F = self.options.frame_chunk
         n_chunks = Tp // F
         kv = kp_norm["value"].astype(dt).reshape(n_chunks, F, 10, 2)
         kj = kp_norm["jacobian"].astype(dt).reshape(n_chunks, F, 10, 2, 2)
         return self._decode_chunks(gvars, src, feats, kp_s, kv, kj)
+
+    def _emo_render_from_windows_impl(self, variables, source_image,
+                                      mfcc_windows, pose, transformed_frames,
+                                      frame_index):
+        """Exportable emotional whole-clip program: precomputed MFCC windows
+        + an explicit timestep -> emotion-frame index (so the emotion-frame
+        axis can pad to a fixed bucket; rows past the real count are never
+        gathered).  Same math as ``_full_render_impl`` with add_emo=True —
+        the index simply replaces the in-program ``arange(Tp) % U``."""
+        kp_norm, kp_s_f32 = self._clip_kp_from_windows_impl(
+            variables, source_image, mfcc_windows, pose, transformed_frames,
+            add_emo=True, frame_index=frame_index)
+        return self._decode_clip(variables, source_image, kp_norm, kp_s_f32)
 
     def _kp_stage_impl(self, variables, source_image, waveform, pose,
                        transformed_frames, add_emo: bool):

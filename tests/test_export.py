@@ -91,6 +91,59 @@ def test_artifact_render_uint8_matches_pipeline(pipeline, artifact_path):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.fixture(scope="module")
+def emo_artifact_path(pipeline, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("export") / "emo.eammx")
+    meta = export_render_artifact(pipeline, path, batch=1,
+                                  frame_buckets=(8,), emotional=True,
+                                  emo_frame_buckets=(4,))
+    assert meta["emotional"]["emo_frame_buckets"] == [4]
+    return path
+
+
+def test_emotional_export_bitexact(pipeline, emo_artifact_path):
+    """U_real == U bucket: the frozen emotional program is bitwise equal to
+    the live add_emo render (identical shapes, identical XLA math)."""
+    art = RenderArtifact.load(emo_artifact_path)
+    rng = np.random.RandomState(4)
+    src = rng.rand(256, 256, 3).astype(np.float32)
+    wav = (0.1 * rng.randn(4000)).astype(np.float32)
+    pose = rng.randn(1, 7).astype(np.float32)
+    emo = rng.rand(4, 256, 256, 3).astype(np.float32)
+    got = art.render_emotional_uint8(src, wav, pose, emo)
+    want = pipeline.render_uint8(src, wav, pose, transformed_video=emo,
+                                 add_emo=True)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_emotional_export_padded_emo_bucket(pipeline, emo_artifact_path):
+    """U_real < U bucket: padding rows are never gathered, so the result
+    matches the live render (trunk batch padding may wobble conv numerics
+    by <= 1 uint8 step on a handful of pixels)."""
+    art = RenderArtifact.load(emo_artifact_path)
+    rng = np.random.RandomState(5)
+    src = rng.rand(256, 256, 3).astype(np.float32)
+    wav = (0.1 * rng.randn(4000)).astype(np.float32)
+    pose = rng.randn(1, 7).astype(np.float32)
+    emo = rng.rand(3, 256, 256, 3).astype(np.float32)
+    got = art.render_emotional_uint8(src, wav, pose, emo)
+    want = pipeline.render_uint8(src, wav, pose, transformed_video=emo,
+                                 add_emo=True)
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+    assert diff.max() <= 1 and (diff != 0).mean() < 1e-3
+
+
+def test_emotional_export_requires_flag(artifact_path):
+    art = RenderArtifact.load(artifact_path)
+    rng = np.random.RandomState(6)
+    with pytest.raises(ValueError, match="emotional"):
+        art.render_emotional(rng.rand(256, 256, 3).astype(np.float32),
+                             rng.randn(8, 28, 12).astype(np.float32),
+                             rng.randn(8, 6).astype(np.float32),
+                             rng.rand(4, 256, 256, 3).astype(np.float32))
+
+
 def test_artifact_errors(pipeline, artifact_path, tmp_path):
     art = RenderArtifact.load(artifact_path)
     rng = np.random.RandomState(3)
