@@ -17,12 +17,17 @@ import argparse
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--config", required=True, help="path to config yaml")
-    p.add_argument("--checkpoint", required=True,
+    p.add_argument("--artifact", default=None,
+                   help="serve from a frozen .eammx render artifact "
+                        "(eamm-export) instead of checkpoints: no model "
+                        "code or config needed; max_batch is taken from "
+                        "the artifact")
+    p.add_argument("--config", help="path to config yaml")
+    p.add_argument("--checkpoint",
                    help="FOMM .pth.tar (generator + kp_detector)")
-    p.add_argument("--audio_checkpoint", required=True,
+    p.add_argument("--audio_checkpoint",
                    help="A2FD .pth.tar (audio_feature + kp_detector_a)")
-    p.add_argument("--emo_checkpoint", required=True,
+    p.add_argument("--emo_checkpoint",
                    help="emotion .pth.tar (emo_detector)")
     p.add_argument("--type", default="linear_3", dest="emo_type")
     p.add_argument("--host", default="0.0.0.0")
@@ -56,15 +61,27 @@ def main(argv=None, stop_event=None, ready=None):
     from eamm_tpu.serve import RenderServer
     from eamm_tpu.serve_http import HttpRenderFront
 
-    options = PipelineOptions(
-        emo_type=opt.emo_type,
-        transfer_format=opt.transfer_format,
-        overlap_segments=max(1, opt.overlap_segments),
-        frame_chunk=opt.frame_chunk, time_bucket=opt.time_bucket,
-        compute_dtype=(jnp.float32 if opt.f32 else jnp.bfloat16))
-    pipe = EammPipeline.from_torch_checkpoints(
-        load_config(opt.config), opt.checkpoint, opt.audio_checkpoint,
-        opt.emo_checkpoint, options)
+    if opt.artifact:
+        from eamm_tpu.infer.export import RenderArtifact, ArtifactPipeline
+        art = RenderArtifact.load(opt.artifact)
+        pipe = ArtifactPipeline(art)
+        opt.max_batch = art.batch          # dispatch size is frozen in
+        opt.transfer_format = pipe.options.transfer_format
+        opt.overlap_segments = 1           # single-segment streaming
+    else:
+        for flag in ("config", "checkpoint", "audio_checkpoint",
+                     "emo_checkpoint"):
+            if getattr(opt, flag) is None:
+                raise SystemExit(f"--{flag} is required without --artifact")
+        options = PipelineOptions(
+            emo_type=opt.emo_type,
+            transfer_format=opt.transfer_format,
+            overlap_segments=max(1, opt.overlap_segments),
+            frame_chunk=opt.frame_chunk, time_bucket=opt.time_bucket,
+            compute_dtype=(jnp.float32 if opt.f32 else jnp.bfloat16))
+        pipe = EammPipeline.from_torch_checkpoints(
+            load_config(opt.config), opt.checkpoint, opt.audio_checkpoint,
+            opt.emo_checkpoint, options)
     server = RenderServer(pipe, max_batch=opt.max_batch,
                           max_delay_ms=opt.max_delay_ms)
 

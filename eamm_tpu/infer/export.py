@@ -262,6 +262,13 @@ class RenderArtifact:
             win, pos, frames, frame_index)
         return out, t
 
+    def _prepare_single(self, waveform, pose):
+        from eamm_tpu.infer.pipeline import _jit_audio_windows
+        win = np.asarray(_jit_audio_windows(np.asarray(waveform, np.float32)))
+        pos = _prepare_pose(np.asarray(pose, np.float32), win.shape[0],
+                            smooth=self.meta.get("smooth_pose", True))
+        return win, pos
+
     def render_emotional_uint8(self, source, waveform, pose,
                                emotion_frames) -> np.ndarray:
         """Full emotional convenience path: raw waveform + raw pose ->
@@ -269,20 +276,25 @@ class RenderArtifact:
         if self.meta["transfer_format"] != "rgb":
             raise ValueError("render_emotional_uint8 requires an rgb-format "
                              "artifact")
-        from eamm_tpu.infer.pipeline import _jit_audio_windows
-        win = np.asarray(_jit_audio_windows(np.asarray(waveform, np.float32)))
-        t = win.shape[0]
-        pos = _prepare_pose(np.asarray(pose, np.float32), t,
-                            smooth=self.meta.get("smooth_pose", True))
+        win, pos = self._prepare_single(waveform, pose)
         out, t = self.render_emotional(source, win, pos, emotion_frames)
         return np.asarray(out)[:t]
 
-    def render_uint8(self, sources, waveforms, poses) -> np.ndarray:
-        """Full convenience path: raw waveforms -> delivered uint8 frames
-        [N, T, 256, 256, 3] (host-side MFCC windows + pose preparation,
-        then the frozen program; rgb artifacts only)."""
-        if self.meta["transfer_format"] != "rgb":
-            raise ValueError("render_uint8 requires an rgb-format artifact")
+    def render_emotional_yuv420(self, source, waveform, pose,
+                                emotion_frames):
+        """Emotional convenience path for yuv420 artifacts: delivered
+        planes (y [T, 256, 256], u/v [T, 128, 128]) uint8."""
+        if self.meta["transfer_format"] != "yuv420":
+            raise ValueError("render_emotional_yuv420 requires a "
+                             "yuv420-format artifact")
+        win, pos = self._prepare_single(waveform, pose)
+        (y, u, v), t = self.render_emotional(source, win, pos,
+                                             emotion_frames)
+        return np.asarray(y)[:t], np.asarray(u)[:t], np.asarray(v)[:t]
+
+    def _prepare_batch(self, waveforms, poses):
+        """Host-side prep shared by the convenience paths: raw waveforms ->
+        padded MFCC windows [N, T, 28, 12] + prepared pose [N, T, 6]."""
         from eamm_tpu.infer.pipeline import _jit_audio_windows
         windows = [np.asarray(_jit_audio_windows(np.asarray(w, np.float32)))
                    for w in waveforms]
@@ -295,8 +307,97 @@ class RenderArtifact:
             pos[i, :w.shape[0]] = _prepare_pose(
                 np.asarray(poses[i], np.float32), w.shape[0],
                 smooth=self.meta.get("smooth_pose", True))
+        return win, pos
+
+    def render_uint8(self, sources, waveforms, poses) -> np.ndarray:
+        """Full convenience path: raw waveforms -> delivered uint8 frames
+        [N, T, 256, 256, 3] (host-side MFCC windows + pose preparation,
+        then the frozen program; rgb artifacts only)."""
+        if self.meta["transfer_format"] != "rgb":
+            raise ValueError("render_uint8 requires an rgb-format artifact")
+        win, pos = self._prepare_batch(waveforms, poses)
         out, t = self.render(np.asarray(sources, np.float32), win, pos)
         return np.asarray(out)[:, :t]
+
+    def render_yuv420(self, sources, waveforms, poses):
+        """Convenience path for yuv420 artifacts: raw waveforms ->
+        delivered planes (y [N, T, 256, 256], u/v [N, T, 128, 128])."""
+        if self.meta["transfer_format"] != "yuv420":
+            raise ValueError("render_yuv420 requires a yuv420-format "
+                             "artifact")
+        win, pos = self._prepare_batch(waveforms, poses)
+        (y, u, v), t = self.render(np.asarray(sources, np.float32), win, pos)
+        return (np.asarray(y)[:, :t], np.asarray(u)[:, :t],
+                np.asarray(v)[:, :t])
+
+
+class ArtifactPipeline:
+    """``RenderServer``-compatible adapter over a frozen artifact:
+    ``eamm-serve --artifact model.eammx`` serves with no model code,
+    checkpoint converters, or config — the deployment host ships one file.
+
+    Semantics vs the live ``EammPipeline``:
+    - coalesced neutral batches run the frozen batched program; the
+      server's ``max_batch`` must equal the artifact's exported batch
+      (the server pads short groups up to it);
+    - emotional singletons run the frozen emotional program (requires an
+      ``--emotional`` export);
+    - streaming requests degrade to ONE whole-clip segment (segment
+      programs are not exported) — same payload contract, no early frames.
+    """
+
+    def __init__(self, artifact: RenderArtifact):
+        from eamm_tpu.infer.pipeline import PipelineOptions
+        self.artifact = artifact
+        self.options = PipelineOptions(
+            add_emo=bool(artifact.meta.get("emotional")),
+            transfer_format=artifact.meta["transfer_format"],
+            smooth_pose=bool(artifact.meta.get("smooth_pose", True)))
+
+    # --- coalesced batches (the server pads groups to max_batch) --------
+
+    def render_batch_uint8(self, sources, waveforms, poses):
+        return self.artifact.render_uint8(sources, waveforms, poses)
+
+    def render_batch_yuv420(self, sources, waveforms, poses):
+        return self.artifact.render_yuv420(sources, waveforms, poses)
+
+    # --- singleton dispatches (the server's emotional path) -------------
+
+    def render_uint8(self, source, waveform, pose, transformed_video=None,
+                     add_emo=None):
+        add_emo = self.options.add_emo if add_emo is None else add_emo
+        if add_emo:
+            if transformed_video is None:
+                raise ValueError("add_emo requires transformed_video frames")
+            return self.artifact.render_emotional_uint8(
+                source, waveform, pose, transformed_video)
+        n = self.artifact.batch
+        return self.artifact.render_uint8([source] * n, [waveform] * n,
+                                          [pose] * n)[0]
+
+    def render_yuv420(self, source, waveform, pose, transformed_video=None,
+                      add_emo=None):
+        add_emo = self.options.add_emo if add_emo is None else add_emo
+        if add_emo:
+            if transformed_video is None:
+                raise ValueError("add_emo requires transformed_video frames")
+            return self.artifact.render_emotional_yuv420(
+                source, waveform, pose, transformed_video)
+        n = self.artifact.batch
+        y, u, v = self.artifact.render_yuv420([source] * n, [waveform] * n,
+                                              [pose] * n)
+        return y[0], u[0], v[0]
+
+    def render_stream(self, source, waveform, pose, transformed_video=None,
+                      add_emo=None):
+        """Single-segment stream: the whole clip as one ``(0, payload)``."""
+        if self.options.transfer_format == "yuv420":
+            yield 0, self.render_yuv420(source, waveform, pose,
+                                        transformed_video, add_emo)
+        else:
+            yield 0, self.render_uint8(source, waveform, pose,
+                                       transformed_video, add_emo)
 
 
 def _prepare_pose(all_pose: np.ndarray, t: int, smooth: bool) -> np.ndarray:

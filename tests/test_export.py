@@ -144,6 +144,78 @@ def test_emotional_export_requires_flag(artifact_path):
                              rng.rand(4, 256, 256, 3).astype(np.float32))
 
 
+def test_artifact_server(pipeline, emo_artifact_path):
+    """RenderServer over an ArtifactPipeline: neutral requests coalesce
+    onto the frozen batch program, emotional requests run the frozen
+    emotional program, streams deliver one whole-clip segment."""
+    from eamm_tpu.infer import ArtifactPipeline
+    from eamm_tpu.serve import RenderServer
+
+    art = RenderArtifact.load(emo_artifact_path)
+    server = RenderServer(ArtifactPipeline(art), max_batch=art.batch,
+                          max_delay_ms=5.0)
+    try:
+        rng = np.random.RandomState(7)
+        src = rng.rand(256, 256, 3).astype(np.float32)
+        wav = (0.1 * rng.randn(4000)).astype(np.float32)
+        pose = rng.randn(1, 7).astype(np.float32)
+        emo = rng.rand(4, 256, 256, 3).astype(np.float32)
+
+        neutral = server.render(src, wav, pose, timeout=600)
+        want_n = art.render_uint8([src], [wav], [pose])[0]
+        np.testing.assert_array_equal(neutral, want_n)
+
+        emotional = server.render(src, wav, pose, transformed_video=emo,
+                                  timeout=600)
+        want_e = art.render_emotional_uint8(src, wav, pose, emo)
+        np.testing.assert_array_equal(emotional, want_e)
+
+        segs = list(server.submit_stream(src, wav, pose))
+        assert len(segs) == 1 and segs[0][0] == 0
+        np.testing.assert_array_equal(segs[0][1], want_n)
+    finally:
+        server.stop()
+
+
+def test_serve_cli_artifact(emo_artifact_path):
+    """eamm-serve --artifact end-to-end: frozen artifact -> RenderServer ->
+    HTTP /render, neutral and emotional, no checkpoints or config."""
+    import threading
+    import urllib.request
+    from eamm_tpu.cli.serve import main as serve_main
+    from eamm_tpu.serve_http import encode_request, decode_response
+
+    stop = threading.Event()
+    fronts = []
+    t = threading.Thread(target=serve_main, kwargs=dict(
+        argv=["--artifact", emo_artifact_path,
+              "--host", "127.0.0.1", "--port", "0"],
+        stop_event=stop, ready=fronts.append), daemon=True)
+    t.start()
+    try:
+        deadline = 900
+        while not fronts and deadline > 0:
+            threading.Event().wait(0.5)
+            deadline -= 0.5
+            assert t.is_alive(), "serve CLI died during startup"
+        front = fronts[0]
+        rng = np.random.RandomState(8)
+        src, wav, pose = (rng.rand(256, 256, 3), 0.1 * rng.randn(4000),
+                          rng.randn(1, 7))
+        for transformed in (None, rng.rand(3, 256, 256, 3)):
+            body = encode_request(src, wav, pose, transformed=transformed)
+            req = urllib.request.Request(front.url + "/render", data=body,
+                                         method="POST")
+            with urllib.request.urlopen(req, timeout=600) as resp:
+                out = decode_response(resp.read())
+            frames = out["frames"]
+            assert frames.dtype == np.uint8
+            assert frames.ndim == 4 and frames.shape[1:] == (256, 256, 3)
+    finally:
+        stop.set()
+        t.join(timeout=60)
+
+
 def test_artifact_errors(pipeline, artifact_path, tmp_path):
     art = RenderArtifact.load(artifact_path)
     rng = np.random.RandomState(3)
