@@ -165,8 +165,21 @@ class EammPipeline:
         emo_model = m["emo_detector"]
         if frame_index is not None and head == "linear" \
                 and hasattr(emo_model, "emotion_feature"):
-            feats_u = emo_model.apply(v["emo_detector"], transformed_frames,
+            # the 256^2 hourglass+ResNet trunk dominates the emotional
+            # path's compute; run it in the pipeline compute dtype (the
+            # kp-conditioned heads and the x100 smoothing stay f32 — the
+            # displacement magnitudes are small and amplified)
+            dt = o.compute_dtype
+            evars = v["emo_detector"]
+            frames_t = transformed_frames
+            if dt != jnp.float32:
+                evars = jax.tree.map(
+                    lambda x: x.astype(dt)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x, evars)
+                frames_t = transformed_frames.astype(dt)
+            feats_u = emo_model.apply(evars, frames_t,
                                       method=emo_model.feature)     # [U,512]
+            feats_u = feats_u.astype(jnp.float32)
             feats = feats_u[frame_index]                            # [T,512]
             kp, _ = emo_model.apply(v["emo_detector"], feats, kp_value,
                                     kp_jacobian,

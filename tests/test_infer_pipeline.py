@@ -177,6 +177,26 @@ def test_bf16_render_quality(pipeline):
     assert np.percentile(d, 99) <= 2.0
 
 
+def test_bf16_emotional_render_quality(pipeline):
+    """bf16 emotional path: the 256^2 emotion trunk runs bf16 (the heads,
+    smoothing and kp math stay f32) — displacements and frames track f32."""
+    import jax.numpy as jnp
+    src, wav, pose, emo_frames = _inputs(seed=8)
+    rgb_f32 = pipeline.render_uint8(src, wav, pose,
+                                    transformed_video=emo_frames,
+                                    add_emo=True)
+    bf16_pipe = EammPipeline(
+        pipeline.config, pipeline.vars,
+        options=PipelineOptions(frame_chunk=8, time_bucket=32,
+                                compute_dtype=jnp.bfloat16))
+    rgb_bf16 = bf16_pipe.render_uint8(src, wav, pose,
+                                      transformed_video=emo_frames,
+                                      add_emo=True)
+    d = np.abs(rgb_f32.astype(np.float32) - rgb_bf16.astype(np.float32))
+    assert d.mean() < 0.75          # in uint8 counts
+    assert np.percentile(d, 99) <= 3.0
+
+
 def test_overlap_matches_single_dispatch(pipeline):
     """The overlapped (kp stage + S render segments) delivery path runs the
     identical ops in the identical order, so its output is bitwise equal to
