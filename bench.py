@@ -92,6 +92,20 @@ def main():
     wav = (0.1 * rng.randn(16000 * 10)).astype(np.float32)   # 10 s clip
     pose = rng.randn(1, 7).astype(np.float32)
 
+    # Every timed call must see a waveform no earlier dispatch saw: the
+    # runtime memoizes whole dispatches on identical inputs, and the stream
+    # / emotional paths reuse the same kp-stage and segment programs as the
+    # overlapped whole-clip path, so per-loop offsets that collide in
+    # float32 (e.g. 3e-5 vs 1e-5*3) silently return memoized results and
+    # report host overhead as compute time.  One global counter keeps all
+    # perturbations distinct (1e-5 steps are exactly representable apart
+    # in f32 at this magnitude).
+    import itertools
+    _pert = itertools.count(1)
+
+    def fresh_wav():
+        return wav + np.float32(1e-5 * next(_pert))
+
     # Warm-up (compiles every stage), then best-of-7 with fresh inputs
     # (defeats runtime-level result caching).  Best-of-N because the
     # delivered number is dominated by the remote device->host tunnel,
@@ -102,8 +116,9 @@ def main():
 
     times = []
     for i in range(7):
+        w = fresh_wav()
         t0 = time.time()
-        pipe.render_yuv420(src, wav + 1e-5 * (i + 1), pose, add_emo=False)
+        pipe.render_yuv420(src, w, pose, add_emo=False)
         times.append(time.time() - t0)
     dt = min(times)
     median_dt = sorted(times)[len(times) // 2]
@@ -114,8 +129,7 @@ def main():
     # kp-stage/segment programs as the overlapped path (no extra compile).
     ttfs_best = float("inf")
     for i in range(3):
-        it = pipe.render_stream(src, wav + 3e-5 * (i + 1), pose,
-                                add_emo=False)
+        it = pipe.render_stream(src, fresh_wav(), pose, add_emo=False)
         t0 = time.time()
         start0, first_payload = next(it)
         ttfs_best = min(ttfs_best, time.time() - t0)
@@ -131,7 +145,8 @@ def main():
     np.asarray(out[0][:1, :2, :2])
     compute_best = float("inf")
     for i in range(3):
-        jw = jnp.asarray(np.asarray(args[1]) + 1e-5 * (i + 1))
+        jw = jnp.asarray(np.asarray(args[1])
+                         + np.float32(1e-5 * next(_pert)))
         jw.block_until_ready()
         t0 = time.time()
         out = pipe._full_render(pipe.vars, args[0], jw, *args[2:],
@@ -149,8 +164,9 @@ def main():
         options=PipelineOptions(frame_chunk=128, time_bucket=128,
                                 add_emo=False))
     rgb_pipe.render_uint8(src, wav, pose, add_emo=False)
+    w = fresh_wav()
     t0 = time.time()
-    rgb_pipe.render_uint8(src, wav + 5e-5, pose, add_emo=False)
+    rgb_pipe.render_uint8(src, w, pose, add_emo=False)
     rgb_fps = n_frames / (time.time() - t0)
 
     # Full emotional path (BASELINE config 2), opt-in via EAMM_BENCH_FULL=1
@@ -162,8 +178,9 @@ def main():
                            add_emo=True)
         emo_times = []
         for i in range(3):
+            w = fresh_wav()
             t0 = time.time()
-            out_e = pipe.render_yuv420(src, wav + 2e-5 * (i + 1), pose,
+            out_e = pipe.render_yuv420(src, w, pose,
                                        transformed_video=emo_frames,
                                        add_emo=True)
             emo_times.append(time.time() - t0)
@@ -176,8 +193,8 @@ def main():
             for _ in range(n_id)]
     poses = [rng.randn(1, 7).astype(np.float32) for _ in range(n_id)]
     out = pipe.render_batch_yuv420(sources, wavs, poses)      # compile
+    wavs2 = [w + np.float32(1e-5 * next(_pert)) for w in wavs]
     t0 = time.time()
-    wavs2 = [w + 1e-5 for w in wavs]
     out = pipe.render_batch_yuv420(sources, wavs2, poses)
     batch_dt = time.time() - t0
     batch_fps = out[0].shape[0] * out[0].shape[1] / batch_dt

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import zipfile
 
 import numpy as np
@@ -124,9 +125,17 @@ def export_render_artifact(pipeline, path: str, batch: int = 1,
             "frame_buckets": [int(t) for t in frame_buckets],
             "emo_frame_buckets": [int(u) for u in emo_frame_buckets],
             "emo_type": o.emo_type,
+            # the live yuv420 (lossy-delivery) path uploads emotion frames
+            # as uint8 — 4x fewer host->device bytes on the tunnel
+            # (pipeline._prepare_full_render_args); the frozen program is
+            # traced with the same dtype so artifact rendering matches the
+            # live path bit for bit
+            "frames_dtype": "uint8"
+            if o.transfer_format == "yuv420" else "float32",
             "inputs": "source [1,256,256,3] f32; mfcc_windows [T,28,12] "
                       "f32; pose [T,6] f32; emotion_frames [U,256,256,3] "
-                      "f32 (mouth-masked, aligned); frame_index [T] i32",
+                      "of frames_dtype (mouth-masked, aligned); "
+                      "frame_index [T] i32",
         } if emotional else None,
     }
 
@@ -136,28 +145,40 @@ def export_render_artifact(pipeline, path: str, batch: int = 1,
                 np.zeros((batch, t, 28, 12), np.float32),
                 np.zeros((batch, t, 6), np.float32))
 
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
-        z.writestr("meta.json", json.dumps(meta, indent=1))
-        buf = io.BytesIO()
-        np.savez(buf, **vars_np)
-        z.writestr("vars.npz", buf.getvalue())
-        for t in frame_buckets:
-            exp = jex.export(jax.jit(pipeline._batch_render_impl),
-                             platforms=platforms)(*make_args(t))
-            z.writestr(f"programs/{batch}x{t}.bin", exp.serialize())
-        if emotional:
+    emo_dtype = np.uint8 if o.transfer_format == "yuv420" else np.float32
+    # Write to a temp file and rename into place once every program has
+    # exported: a failure mid-way (e.g. a later bucket's lowering error)
+    # must not leave a valid-looking but incomplete artifact at ``path``
+    # that only fails at load time on the serving host.
+    tmp = path + ".tmp"
+    try:
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+            z.writestr("meta.json", json.dumps(meta, indent=1))
+            buf = io.BytesIO()
+            np.savez(buf, **vars_np)
+            z.writestr("vars.npz", buf.getvalue())
             for t in frame_buckets:
-                for u in emo_frame_buckets:
-                    exp = jex.export(
-                        jax.jit(pipeline._emo_render_from_windows_impl),
-                        platforms=platforms)(
-                        pipeline.vars,
-                        np.zeros((1, 256, 256, 3), np.float32),
-                        np.zeros((t, 28, 12), np.float32),
-                        np.zeros((t, 6), np.float32),
-                        np.zeros((u, 256, 256, 3), np.float32),
-                        np.zeros((t,), np.int32))
-                    z.writestr(f"programs/emo_{t}x{u}.bin", exp.serialize())
+                exp = jex.export(jax.jit(pipeline._batch_render_impl),
+                                 platforms=platforms)(*make_args(t))
+                z.writestr(f"programs/{batch}x{t}.bin", exp.serialize())
+            if emotional:
+                for t in frame_buckets:
+                    for u in emo_frame_buckets:
+                        exp = jex.export(
+                            jax.jit(pipeline._emo_render_from_windows_impl),
+                            platforms=platforms)(
+                            pipeline.vars,
+                            np.zeros((1, 256, 256, 3), np.float32),
+                            np.zeros((t, 28, 12), np.float32),
+                            np.zeros((t, 6), np.float32),
+                            np.zeros((u, 256, 256, 3), emo_dtype),
+                            np.zeros((t,), np.int32))
+                        z.writestr(f"programs/emo_{t}x{u}.bin",
+                                   exp.serialize())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return meta
 
 
@@ -251,8 +272,16 @@ class RenderArtifact:
             raise ValueError(f"{u} emotion frames exceed the largest "
                              f"exported bucket ({ubuckets[-1]})")
         frame_index = (np.arange(tp) % u).astype(np.int32)
-        frames = np.zeros((up, 256, 256, 3), np.float32)
-        frames[:u] = np.asarray(emotion_frames, np.float32)[:u]
+        ef = np.asarray(emotion_frames, np.float32)[:u]
+        if self.meta["emotional"].get("frames_dtype") == "uint8":
+            # yuv420 artifacts trace the program with uint8 emotion frames
+            # (the live lossy-delivery path's 4x-smaller upload); the
+            # program rescales internally
+            frames = np.zeros((up, 256, 256, 3), np.uint8)
+            frames[:u] = np.clip(np.rint(ef * 255.0), 0, 255)
+        else:
+            frames = np.zeros((up, 256, 256, 3), np.float32)
+            frames[:u] = ef
         win = np.zeros((tp, 28, 12), np.float32)
         win[:t] = mfcc_windows
         pos = np.zeros((tp, 6), np.float32)
@@ -263,11 +292,26 @@ class RenderArtifact:
         return out, t
 
     def _prepare_single(self, waveform, pose):
-        from eamm_tpu.infer.pipeline import _jit_audio_windows
+        from eamm_tpu.infer.pipeline import (_jit_audio_windows,
+                                             prepare_pose_np)
         win = np.asarray(_jit_audio_windows(np.asarray(waveform, np.float32)))
-        pos = _prepare_pose(np.asarray(pose, np.float32), win.shape[0],
-                            smooth=self.meta.get("smooth_pose", True))
+        pos = prepare_pose_np(np.asarray(pose, np.float32), win.shape[0],
+                              smooth=self.meta.get("smooth_pose", True))
         return win, pos
+
+    def render_replicated(self, source, waveform, pose):
+        """One request replicated to the exported batch: the host-side
+        windows/pose prep runs ONCE and the arrays broadcast, instead of
+        preparing ``batch`` identical copies (the host has one core; per-
+        copy MFCC dispatch + one-euro filtering dominates singleton prep).
+        Returns (program output, delivered T)."""
+        win, pos = self._prepare_single(waveform, pose)
+        n = self.batch
+        sources = np.broadcast_to(
+            np.asarray(source, np.float32).reshape(256, 256, 3),
+            (n, 256, 256, 3))
+        return self.render(sources, np.broadcast_to(win, (n,) + win.shape),
+                           np.broadcast_to(pos, (n,) + pos.shape))
 
     def render_emotional_uint8(self, source, waveform, pose,
                                emotion_frames) -> np.ndarray:
@@ -295,7 +339,8 @@ class RenderArtifact:
     def _prepare_batch(self, waveforms, poses):
         """Host-side prep shared by the convenience paths: raw waveforms ->
         padded MFCC windows [N, T, 28, 12] + prepared pose [N, T, 6]."""
-        from eamm_tpu.infer.pipeline import _jit_audio_windows
+        from eamm_tpu.infer.pipeline import (_jit_audio_windows,
+                                             prepare_pose_np)
         windows = [np.asarray(_jit_audio_windows(np.asarray(w, np.float32)))
                    for w in waveforms]
         t = max(w.shape[0] for w in windows)
@@ -304,7 +349,7 @@ class RenderArtifact:
         pos = np.zeros((n, t, 6), np.float32)
         for i, w in enumerate(windows):
             win[i, :w.shape[0]] = w
-            pos[i, :w.shape[0]] = _prepare_pose(
+            pos[i, :w.shape[0]] = prepare_pose_np(
                 np.asarray(poses[i], np.float32), w.shape[0],
                 smooth=self.meta.get("smooth_pose", True))
         return win, pos
@@ -366,28 +411,32 @@ class ArtifactPipeline:
 
     def render_uint8(self, source, waveform, pose, transformed_video=None,
                      add_emo=None):
+        if self.options.transfer_format != "rgb":
+            raise ValueError("render_uint8 requires an rgb-format artifact")
         add_emo = self.options.add_emo if add_emo is None else add_emo
         if add_emo:
             if transformed_video is None:
                 raise ValueError("add_emo requires transformed_video frames")
             return self.artifact.render_emotional_uint8(
                 source, waveform, pose, transformed_video)
-        n = self.artifact.batch
-        return self.artifact.render_uint8([source] * n, [waveform] * n,
-                                          [pose] * n)[0]
+        out, t = self.artifact.render_replicated(source, waveform, pose)
+        return np.asarray(out)[0, :t]
 
     def render_yuv420(self, source, waveform, pose, transformed_video=None,
                       add_emo=None):
+        if self.options.transfer_format != "yuv420":
+            raise ValueError("render_yuv420 requires a yuv420-format "
+                             "artifact")
         add_emo = self.options.add_emo if add_emo is None else add_emo
         if add_emo:
             if transformed_video is None:
                 raise ValueError("add_emo requires transformed_video frames")
             return self.artifact.render_emotional_yuv420(
                 source, waveform, pose, transformed_video)
-        n = self.artifact.batch
-        y, u, v = self.artifact.render_yuv420([source] * n, [waveform] * n,
-                                              [pose] * n)
-        return y[0], u[0], v[0]
+        (y, u, v), t = self.artifact.render_replicated(source, waveform,
+                                                       pose)
+        return (np.asarray(y)[0, :t], np.asarray(u)[0, :t],
+                np.asarray(v)[0, :t])
 
     def render_stream(self, source, waveform, pose, transformed_video=None,
                       add_emo=None):
@@ -400,18 +449,3 @@ class ArtifactPipeline:
                                        transformed_video, add_emo)
 
 
-def _prepare_pose(all_pose: np.ndarray, t: int, smooth: bool) -> np.ndarray:
-    """Host-side pose tiling/smoothing, matching
-    EammPipeline.prepare_pose (ref:demo.py:297-341)."""
-    from eamm_tpu.ops.filters import one_euro_filter_np
-    pose = np.asarray(all_pose, np.float32).reshape(-1, 7)[:, :6]
-    if len(pose) == 1:
-        pose = np.repeat(pose, 100, 0)
-    elif smooth:
-        pose = one_euro_filter_np(pose, mincutoff=0.004, beta=0.7, freq=100)
-    if len(pose) < t:
-        gap = t - len(pose)
-        n = int(gap / len(pose) / 2) + 2
-        pose = np.concatenate([pose, pose[::-1, :]], axis=0)
-        pose = np.tile(pose, (n, 1))
-    return pose[:t]

@@ -84,6 +84,26 @@ def _bucket(n: int, b: int) -> int:
 _jit_audio_windows = jax.jit(audio_to_mfcc_windows)
 
 
+def prepare_pose_np(all_pose: np.ndarray, T: int,
+                    smooth: bool = True) -> np.ndarray:
+    """Host-side pose tiling / smoothing (ref:demo.py:297-341).
+
+    Host numpy on purpose: a device dispatch for a [T,6] filter would cost
+    a tunnel round trip on every render call.  Shared by the live pipeline
+    and the frozen-artifact convenience paths (infer/export.py)."""
+    pose = np.asarray(all_pose, np.float32).reshape(-1, 7)[:, :6]
+    if len(pose) == 1:
+        pose = np.repeat(pose, 100, 0)
+    elif smooth:
+        pose = one_euro_filter_np(pose, mincutoff=0.004, beta=0.7, freq=100)
+    if len(pose) < T:
+        gap = T - len(pose)
+        n = int(gap / len(pose) / 2) + 2
+        pose = np.concatenate([pose, pose[::-1, :]], axis=0)
+        pose = np.tile(pose, (n, 1))
+    return pose[:T]
+
+
 class EammPipeline:
     """Holds models + variables and the jitted stage functions."""
 
@@ -696,20 +716,7 @@ class EammPipeline:
 
     def prepare_pose(self, all_pose: np.ndarray, T: int) -> np.ndarray:
         """Host-side pose tiling / smoothing (ref:demo.py:297-341)."""
-        pose = np.asarray(all_pose, np.float32).reshape(-1, 7)[:, :6]
-        if len(pose) == 1:
-            pose = np.repeat(pose, 100, 0)
-        elif self.options.smooth_pose:
-            # host numpy: a device dispatch for a [T,6] filter would cost a
-            # tunnel round trip on every render call
-            pose = one_euro_filter_np(pose, mincutoff=0.004, beta=0.7,
-                                      freq=100)
-        if len(pose) < T:
-            gap = T - len(pose)
-            n = int(gap / len(pose) / 2) + 2
-            pose = np.concatenate([pose, pose[::-1, :]], axis=0)
-            pose = np.tile(pose, (n, 1))
-        return pose[:T]
+        return prepare_pose_np(all_pose, T, smooth=self.options.smooth_pose)
 
     def render(self, source_image: np.ndarray, waveform: np.ndarray,
                all_pose: np.ndarray,

@@ -134,6 +134,56 @@ def test_emotional_export_padded_emo_bucket(pipeline, emo_artifact_path):
     assert diff.max() <= 1 and (diff != 0).mean() < 1e-3
 
 
+def test_yuv420_emotional_artifact_matches_live(pipeline, tmp_path):
+    """yuv420 artifacts trace the emotional program with the live lossy
+    path's uint8 emotion-frame upload (4x fewer host->device bytes): the
+    frozen render is bitwise equal to the live render_yuv420(add_emo)."""
+    yuv_pipe = EammPipeline(
+        pipeline.config, pipeline.vars,
+        options=PipelineOptions(frame_chunk=8, time_bucket=8,
+                                transfer_format="yuv420"))
+    path = str(tmp_path / "yuv.eammx")
+    meta = export_render_artifact(yuv_pipe, path, batch=1,
+                                  frame_buckets=(8,), emotional=True,
+                                  emo_frame_buckets=(4,))
+    assert meta["emotional"]["frames_dtype"] == "uint8"
+    art = RenderArtifact.load(path)
+    rng = np.random.RandomState(9)
+    src = rng.rand(256, 256, 3).astype(np.float32)
+    wav = (0.1 * rng.randn(4000)).astype(np.float32)
+    pose = rng.randn(1, 7).astype(np.float32)
+    emo = rng.rand(4, 256, 256, 3).astype(np.float32)
+    gy, gu, gv = art.render_emotional_yuv420(src, wav, pose, emo)
+    wy, wu, wv = yuv_pipe.render_yuv420(src, wav, pose,
+                                        transformed_video=emo, add_emo=True)
+    np.testing.assert_array_equal(gy, wy)
+    np.testing.assert_array_equal(gu, wu)
+    np.testing.assert_array_equal(gv, wv)
+
+
+def test_failed_export_leaves_no_artifact(pipeline, tmp_path, monkeypatch):
+    """A lowering failure in a later bucket must not leave a valid-looking
+    but incomplete artifact at the destination (it would only fail at load
+    time on the serving host)."""
+    import jax.export as jex_mod
+    real_export = jex_mod.export
+    calls = {"n": 0}
+
+    def export_then_boom(*a, **k):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("simulated lowering failure")
+        return real_export(*a, **k)
+
+    monkeypatch.setattr(jex_mod, "export", export_then_boom)
+    path = str(tmp_path / "broken.eammx")
+    with pytest.raises(RuntimeError, match="simulated"):
+        export_render_artifact(pipeline, path, batch=1, frame_buckets=(8, 16))
+    import os
+    assert not os.path.exists(path)
+    assert not os.path.exists(path + ".tmp")
+
+
 def test_emotional_export_requires_flag(artifact_path):
     art = RenderArtifact.load(artifact_path)
     rng = np.random.RandomState(6)
