@@ -33,6 +33,11 @@ def build_parser() -> ArgumentParser:
                         "programs, one per --frames x --emo_frames bucket")
     p.add_argument("--emo_frames", type=int, nargs="+", default=[32],
                    help="padded unique-emotion-frame buckets (--emotional)")
+    p.add_argument("--stream_segments", type=int, default=0,
+                   help="also export single-clip streaming programs that "
+                        "deliver the clip in N in-order segments (early "
+                        "frames while the chip renders the tail); each "
+                        "--frames bucket must divide into N render chunks")
     p.add_argument("--emo_type", default="linear_3",
                    help="emotion head for the emotional programs "
                         "(demo --type, ref:demo.py:549)")
@@ -66,7 +71,8 @@ def main(argv=None):
     meta = export_render_artifact(
         pipe, opt.out, batch=opt.batch, frame_buckets=tuple(opt.frames),
         platforms=tuple(opt.platforms) if opt.platforms else None,
-        emotional=opt.emotional, emo_frame_buckets=tuple(opt.emo_frames))
+        emotional=opt.emotional, emo_frame_buckets=tuple(opt.emo_frames),
+        stream_segments=opt.stream_segments)
     print(json.dumps(meta))
 
 

@@ -67,7 +67,8 @@ def main(argv=None, stop_event=None, ready=None):
         pipe = ArtifactPipeline(art)
         opt.max_batch = art.batch          # dispatch size is frozen in
         opt.transfer_format = pipe.options.transfer_format
-        opt.overlap_segments = 1           # single-segment streaming
+        stream = art.meta.get("streaming")
+        opt.overlap_segments = int(stream["segments"]) if stream else 1
     else:
         for flag in ("config", "checkpoint", "audio_checkpoint",
                      "emo_checkpoint"):

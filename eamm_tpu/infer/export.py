@@ -46,6 +46,15 @@ def _flatten_vars(tree, prefix=""):
     return out
 
 
+def _pad_time(mfcc_windows, pose, t: int, tp: int):
+    """Zero-pad [T,...] windows/pose up to the bucket length Tp."""
+    win = np.zeros((tp, 28, 12), np.float32)
+    win[:t] = mfcc_windows
+    pos = np.zeros((tp, 6), np.float32)
+    pos[:t] = pose
+    return win, pos
+
+
 def _unflatten_vars(flat: dict) -> dict:
     tree: dict = {}
     for key, v in flat.items():
@@ -60,7 +69,8 @@ def _unflatten_vars(flat: dict) -> dict:
 def export_render_artifact(pipeline, path: str, batch: int = 1,
                            frame_buckets=(128,), platforms=None,
                            emotional: bool = False,
-                           emo_frame_buckets=(32,)) -> dict:
+                           emo_frame_buckets=(32,),
+                           stream_segments: int = 0) -> dict:
     """Export ``pipeline``'s batched render program + weights to ``path``.
 
     batch: identity-batch size N of the exported program.
@@ -78,9 +88,20 @@ def export_render_artifact(pipeline, path: str, batch: int = 1,
       cycling semantics.  Emotional requests are singletons (their delivery
       cadence can't share a coalesced batch — same policy as RenderServer).
     emo_frame_buckets: padded UNIQUE-emotion-frame counts to export.
+    stream_segments: when > 0, additionally export SINGLE-clip streaming
+      programs: one kp-stage program per clip-length bucket (plus one per
+      emotion bucket pair when ``emotional``) and one segment-decode
+      program per bucket.  ``RenderArtifact.render_stream`` then delivers
+      the clip in ``stream_segments`` in-order segments while the chip
+      renders the tail — the live pipeline's ``overlap_segments``
+      time-to-first-frame story, frozen (ref: the reference writes the
+      whole mp4 at the end, ref:demo.py:477-515).  Every frame bucket must
+      divide into ``stream_segments`` chunk-aligned segments.
 
     Returns the meta dict written into the artifact.
     """
+    import functools
+    import jax.numpy as jnp
     import jax
     from jax import export as jex
 
@@ -104,6 +125,13 @@ def export_render_artifact(pipeline, path: str, batch: int = 1,
                 raise ValueError(
                     f"frame bucket {t} is not a multiple of the single-clip "
                     f"render chunk {o.frame_chunk} (emotional programs)")
+    if stream_segments:
+        for t in frame_buckets:
+            if t % (o.frame_chunk * stream_segments):
+                raise ValueError(
+                    f"frame bucket {t} does not divide into "
+                    f"{stream_segments} segments of whole render chunks "
+                    f"(chunk {o.frame_chunk})")
 
     vars_np = _flatten_vars(pipeline.vars)
     meta = {
@@ -137,6 +165,12 @@ def export_render_artifact(pipeline, path: str, batch: int = 1,
                       "of frames_dtype (mouth-masked, aligned); "
                       "frame_index [T] i32",
         } if emotional else None,
+        "streaming": {
+            "segments": int(stream_segments),
+            "fetch_streams": int(max(1, o.fetch_streams)),
+            "frame_buckets": [int(t) for t in frame_buckets],
+            "emotional": bool(emotional),
+        } if stream_segments else None,
     }
 
     def make_args(t):
@@ -175,6 +209,50 @@ def export_render_artifact(pipeline, path: str, batch: int = 1,
                             np.zeros((t,), np.int32))
                         z.writestr(f"programs/emo_{t}x{u}.bin",
                                    exp.serialize())
+            if stream_segments:
+                src_s = jax.ShapeDtypeStruct((1, 256, 256, 3), jnp.float32)
+                idx_s = jax.ShapeDtypeStruct((), jnp.int32)
+
+                def kp_neutral(v, src, win, pos):
+                    return pipeline._kp_stage_from_windows_impl(
+                        v, src, win, pos,
+                        jnp.zeros((1, 256, 256, 3), jnp.float32), None,
+                        add_emo=False)
+
+                def kp_emo(v, src, win, pos, ef, fi):
+                    return pipeline._kp_stage_from_windows_impl(
+                        v, src, win, pos, ef, fi, add_emo=True)
+
+                for t in frame_buckets:
+                    win_s = jax.ShapeDtypeStruct((t, 28, 12), jnp.float32)
+                    pos_s = jax.ShapeDtypeStruct((t, 6), jnp.float32)
+                    exp = jex.export(jax.jit(kp_neutral),
+                                     platforms=platforms)(
+                        pipeline.vars, src_s, win_s, pos_s)
+                    z.writestr(f"programs/kp_{t}.bin", exp.serialize())
+                    # the segment program is shared by the neutral and
+                    # emotional paths: the kp-stage outputs have identical
+                    # shapes either way
+                    kv_s, kj_s, kps_s, feats_s = jax.eval_shape(
+                        kp_neutral, pipeline.vars, src_s, win_s, pos_s)
+                    seg_fn = functools.partial(
+                        pipeline._render_segment_impl,
+                        seg_frames=t // stream_segments)
+                    exp = jex.export(jax.jit(seg_fn), platforms=platforms)(
+                        pipeline.vars, src_s, feats_s, kps_s, kv_s, kj_s,
+                        idx_s)
+                    z.writestr(f"programs/seg_{t}.bin", exp.serialize())
+                    if emotional:
+                        for u in emo_frame_buckets:
+                            ef_s = jax.ShapeDtypeStruct(
+                                (u, 256, 256, 3), emo_dtype)
+                            fi_s = jax.ShapeDtypeStruct((t,), jnp.int32)
+                            exp = jex.export(jax.jit(kp_emo),
+                                             platforms=platforms)(
+                                pipeline.vars, src_s, win_s, pos_s, ef_s,
+                                fi_s)
+                            z.writestr(f"programs/kp_emo_{t}x{u}.bin",
+                                       exp.serialize())
         os.replace(tmp, path)
     finally:
         if os.path.exists(tmp):
@@ -189,10 +267,14 @@ class RenderArtifact:
     """
 
     def __init__(self, meta: dict, programs: dict, variables: dict,
-                 emo_programs: dict | None = None):
+                 emo_programs: dict | None = None,
+                 stream_programs: dict | None = None):
         self.meta = meta
         self._programs = programs          # {padded_frames: Exported}
         self._emo_programs = emo_programs or {}   # {(T, U): Exported}
+        # {"kp": {T: Exported}, "seg": {T: Exported},
+        #  "kp_emo": {(T, U): Exported}}
+        self._stream = stream_programs or {}
         self.vars = variables
         self.batch = int(meta["batch"])
         self.frame_buckets = sorted(int(t) for t in meta["frame_buckets"])
@@ -218,7 +300,22 @@ class RenderArtifact:
                     for u in emo["emo_frame_buckets"]:
                         emo_programs[(int(t), int(u))] = jex.deserialize(
                             z.read(f"programs/emo_{t}x{u}.bin"))
-        return cls(meta, programs, _unflatten_vars(flat), emo_programs)
+            stream_programs = {}
+            stream = meta.get("streaming")
+            if stream:
+                stream_programs = {"kp": {}, "seg": {}, "kp_emo": {}}
+                for t in stream["frame_buckets"]:
+                    stream_programs["kp"][int(t)] = jex.deserialize(
+                        z.read(f"programs/kp_{t}.bin"))
+                    stream_programs["seg"][int(t)] = jex.deserialize(
+                        z.read(f"programs/seg_{t}.bin"))
+                    if stream["emotional"]:
+                        for u in emo["emo_frame_buckets"]:
+                            stream_programs["kp_emo"][(int(t), int(u))] = \
+                                jex.deserialize(
+                                    z.read(f"programs/kp_emo_{t}x{u}.bin"))
+        return cls(meta, programs, _unflatten_vars(flat), emo_programs,
+                   stream_programs)
 
     def bucket_for(self, frames: int) -> int:
         for t in self.frame_buckets:
@@ -265,7 +362,18 @@ class RenderArtifact:
                              "programs (export with emotional=True)")
         t = mfcc_windows.shape[0]
         tp = self.bucket_for(t)
-        u = min(emotion_frames.shape[0], tp)     # frames past Tp never play
+        frames, frame_index, up = self._emo_inputs(tp, emotion_frames)
+        win, pos = _pad_time(mfcc_windows, pose, t, tp)
+        out = self._emo_programs[(tp, up)].call(
+            self.vars, np.asarray(source, np.float32).reshape(1, 256, 256, 3),
+            win, pos, frames, frame_index)
+        return out, t
+
+    def _emo_inputs(self, tp: int, emotion_frames):
+        """Pad the unique emotion frames to an exported bucket and build
+        the explicit timestep -> frame index.  Returns (frames [Up,...] of
+        the exported dtype, frame_index [Tp] i32, Up)."""
+        u = min(np.asarray(emotion_frames).shape[0], tp)  # frames past Tp
         ubuckets = sorted(self.meta["emotional"]["emo_frame_buckets"])
         up = next((b for b in ubuckets if u <= b), None)
         if up is None:
@@ -282,14 +390,63 @@ class RenderArtifact:
         else:
             frames = np.zeros((up, 256, 256, 3), np.float32)
             frames[:u] = ef
-        win = np.zeros((tp, 28, 12), np.float32)
-        win[:t] = mfcc_windows
-        pos = np.zeros((tp, 6), np.float32)
-        pos[:t] = pose
-        out = self._emo_programs[(tp, up)].call(
-            self.vars, np.asarray(source, np.float32).reshape(1, 256, 256, 3),
-            win, pos, frames, frame_index)
-        return out, t
+        return frames, frame_index, up
+
+    def render_stream(self, source, waveform, pose, emotion_frames=None):
+        """Streaming render from the frozen programs: yields
+        ``(start_frame, payload)`` in clip order, payload uint8 RGB frames
+        or yuv420 planes per the artifact's transfer format — the live
+        pipeline's ``render_stream`` contract.  Every segment dispatch is
+        issued before the first fetch, so segment i's device->host
+        transfer overlaps segment i+1's compute; time-to-first-frame is
+        ~1/segments of the whole clip.  Requires a ``stream_segments``
+        export; concatenating the payloads equals the whole-clip render."""
+        stream = self.meta.get("streaming")
+        if not stream:
+            raise ValueError("artifact was exported without streaming "
+                             "programs (export with stream_segments=N)")
+        from eamm_tpu.utils.transfer import fetch_parallel
+        win, pos = self._prepare_single(waveform, pose)
+        t = win.shape[0]
+        tp = next((b for b in sorted(stream["frame_buckets"]) if t <= b),
+                  None)
+        if tp is None:
+            raise ValueError(f"clip of {t} frames exceeds the largest "
+                             f"streaming bucket "
+                             f"({max(stream['frame_buckets'])})")
+        win, pos = _pad_time(win, pos, t, tp)
+        src = np.asarray(source, np.float32).reshape(1, 256, 256, 3)
+        if emotion_frames is None:
+            kv, kj, kp_s, feats = self._stream["kp"][tp].call(
+                self.vars, src, win, pos)
+        else:
+            if not stream["emotional"]:
+                raise ValueError("artifact was exported without emotional "
+                                 "streaming programs")
+            frames, frame_index, up = self._emo_inputs(tp, emotion_frames)
+            kv, kj, kp_s, feats = self._stream["kp_emo"][(tp, up)].call(
+                self.vars, src, win, pos, frames, frame_index)
+        s = int(stream["segments"])
+        tseg = tp // s
+        seg = self._stream["seg"][tp]
+        # issue every segment before any fetch (in-order device queue:
+        # fetches then ride alongside later segments' compute)
+        parts_list = [seg.call(self.vars, src, feats, kp_s, kv, kj,
+                               np.int32(i)) for i in range(s)]
+        yuv = self.meta["transfer_format"] == "yuv420"
+        ns = int(stream["fetch_streams"])
+        ny = max(1, (2 * ns) // 3) if yuv else ns
+        for i, parts in enumerate(parts_list):
+            keep = min(tseg, max(0, t - i * tseg))
+            if keep <= 0:
+                break
+            fetched = fetch_parallel(list(parts))
+            if yuv:
+                y = np.concatenate(fetched[:ny], axis=0)[:keep]
+                yield i * tseg, (y, fetched[ny][:keep],
+                                 fetched[ny + 1][:keep])
+            else:
+                yield i * tseg, np.concatenate(fetched, axis=0)[:keep]
 
     def _prepare_single(self, waveform, pose):
         from eamm_tpu.infer.pipeline import (_jit_audio_windows,
@@ -387,8 +544,10 @@ class ArtifactPipeline:
       (the server pads short groups up to it);
     - emotional singletons run the frozen emotional program (requires an
       ``--emotional`` export);
-    - streaming requests degrade to ONE whole-clip segment (segment
-      programs are not exported) — same payload contract, no early frames.
+    - streaming requests run the frozen kp-stage + segment programs when
+      the artifact was exported with ``stream_segments`` (real in-order
+      early delivery); otherwise they degrade to ONE whole-clip segment —
+      same payload contract, no early frames.
     """
 
     def __init__(self, artifact: RenderArtifact):
@@ -440,7 +599,18 @@ class ArtifactPipeline:
 
     def render_stream(self, source, waveform, pose, transformed_video=None,
                       add_emo=None):
-        """Single-segment stream: the whole clip as one ``(0, payload)``."""
+        """Segment streaming via the frozen kp-stage + segment programs
+        when exported (``stream_segments``); single whole-clip segment
+        otherwise."""
+        add_emo = self.options.add_emo if add_emo is None else add_emo
+        stream = self.artifact.meta.get("streaming")
+        if stream and (not add_emo or stream["emotional"]):
+            if add_emo and transformed_video is None:
+                raise ValueError("add_emo requires transformed_video frames")
+            yield from self.artifact.render_stream(
+                source, waveform, pose,
+                transformed_video if add_emo else None)
+            return
         if self.options.transfer_format == "yuv420":
             yield 0, self.render_yuv420(source, waveform, pose,
                                         transformed_video, add_emo)

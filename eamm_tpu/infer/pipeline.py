@@ -416,6 +416,23 @@ class EammPipeline:
                           method=gen.encode_source)
         return kp_norm["value"], kp_norm["jacobian"], kp_s, feats
 
+    def _kp_stage_from_windows_impl(self, variables, source_image,
+                                    mfcc_windows, pose, transformed_frames,
+                                    frame_index, add_emo: bool):
+        """Exportable kp stage: precomputed MFCC windows (+ an explicit
+        timestep -> emotion-frame index when emotional) -> whole-clip
+        normalized keypoints + encoded source features.  The
+        streaming-artifact counterpart of ``_kp_stage_impl`` — its outputs
+        feed the frozen segment program without a host round trip."""
+        kp_norm, kp_s = self._clip_kp_from_windows_impl(
+            variables, source_image, mfcc_windows, pose, transformed_frames,
+            add_emo, frame_index=frame_index)
+        gvars, dt = self._cast_generator(variables)
+        gen = self.models["generator"]
+        feats = gen.apply(gvars, source_image.astype(dt),
+                          method=gen.encode_source)
+        return kp_norm["value"], kp_norm["jacobian"], kp_s, feats
+
     def _render_segment_impl(self, variables, source_image, feats, kp_s_f32,
                              kp_value, kp_jacobian, seg_index, seg_frames):
         """One overlapped render segment: frames [seg_index*seg_frames,

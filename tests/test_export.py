@@ -161,6 +161,99 @@ def test_yuv420_emotional_artifact_matches_live(pipeline, tmp_path):
     np.testing.assert_array_equal(gv, wv)
 
 
+@pytest.fixture(scope="module")
+def stream_artifact_path(pipeline, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("export") / "stream.eammx")
+    meta = export_render_artifact(pipeline, path, batch=1,
+                                  frame_buckets=(16,), emotional=True,
+                                  emo_frame_buckets=(4,), stream_segments=2)
+    assert meta["streaming"]["segments"] == 2
+    return path
+
+
+def test_stream_artifact_matches_whole_clip(pipeline, stream_artifact_path):
+    """Frozen streaming: in-order segments whose concatenation is bitwise
+    equal to the live whole-clip render (the segment program runs the
+    identical chunk decodes in the identical order)."""
+    art = RenderArtifact.load(stream_artifact_path)
+    rng = np.random.RandomState(10)
+    src = rng.rand(256, 256, 3).astype(np.float32)
+    wav = (0.1 * rng.randn(7000)).astype(np.float32)   # ~11 frames
+    pose = rng.randn(1, 7).astype(np.float32)
+    segs = list(art.render_stream(src, wav, pose))
+    assert len(segs) == 2 and segs[0][0] == 0 and segs[1][0] == 8
+    got = np.concatenate([p for _, p in segs], axis=0)
+    want = pipeline.render_uint8(src, wav, pose, add_emo=False)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stream_artifact_emotional(pipeline, stream_artifact_path):
+    """Emotional streaming from the frozen kp_emo + segment programs."""
+    art = RenderArtifact.load(stream_artifact_path)
+    rng = np.random.RandomState(11)
+    src = rng.rand(256, 256, 3).astype(np.float32)
+    wav = (0.1 * rng.randn(7000)).astype(np.float32)
+    pose = rng.randn(1, 7).astype(np.float32)
+    emo = rng.rand(4, 256, 256, 3).astype(np.float32)
+    segs = list(art.render_stream(src, wav, pose, emotion_frames=emo))
+    assert len(segs) == 2
+    got = np.concatenate([p for _, p in segs], axis=0)
+    want = pipeline.render_uint8(src, wav, pose, transformed_video=emo,
+                                 add_emo=True)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stream_artifact_short_clip_single_segment(stream_artifact_path):
+    """A clip shorter than one segment yields exactly one payload."""
+    art = RenderArtifact.load(stream_artifact_path)
+    rng = np.random.RandomState(12)
+    src = rng.rand(256, 256, 3).astype(np.float32)
+    wav = (0.1 * rng.randn(3000)).astype(np.float32)   # ~5 frames
+    pose = rng.randn(1, 7).astype(np.float32)
+    segs = list(art.render_stream(src, wav, pose))
+    assert len(segs) == 1 and segs[0][0] == 0
+    assert segs[0][1].shape[0] <= 8
+
+
+def test_artifact_server_streaming(stream_artifact_path):
+    """RenderServer.submit_stream over a streaming artifact delivers
+    real in-order segments (not the single whole-clip fallback)."""
+    from eamm_tpu.infer import ArtifactPipeline
+    from eamm_tpu.serve import RenderServer
+
+    art = RenderArtifact.load(stream_artifact_path)
+    server = RenderServer(ArtifactPipeline(art), max_batch=art.batch,
+                          max_delay_ms=5.0)
+    try:
+        rng = np.random.RandomState(13)
+        src = rng.rand(256, 256, 3).astype(np.float32)
+        wav = (0.1 * rng.randn(7000)).astype(np.float32)
+        pose = rng.randn(1, 7).astype(np.float32)
+        segs = list(server.submit_stream(src, wav, pose))
+        assert [s for s, _ in segs] == [0, 8]
+        got = np.concatenate([p for _, p in segs], axis=0)
+        whole = server.render(src, wav, pose, timeout=600)
+        np.testing.assert_array_equal(got, whole)
+    finally:
+        server.stop()
+
+
+def test_stream_export_requires_flag(artifact_path):
+    art = RenderArtifact.load(artifact_path)
+    rng = np.random.RandomState(14)
+    with pytest.raises(ValueError, match="streaming"):
+        list(art.render_stream(rng.rand(256, 256, 3).astype(np.float32),
+                               rng.randn(3000).astype(np.float32),
+                               rng.randn(1, 7).astype(np.float32)))
+
+
+def test_stream_export_segment_alignment(pipeline, tmp_path):
+    with pytest.raises(ValueError, match="segments"):
+        export_render_artifact(pipeline, str(tmp_path / "bad.eammx"),
+                               batch=1, frame_buckets=(8,),
+                               stream_segments=2)   # 8 / 2 < frame_chunk
+
+
 def test_failed_export_leaves_no_artifact(pipeline, tmp_path, monkeypatch):
     """A lowering failure in a later bucket must not leave a valid-looking
     but incomplete artifact at the destination (it would only fail at load
