@@ -58,7 +58,40 @@ def reference_fps() -> float:
     return fps
 
 
+def probe_devices(timeout_s: float) -> bool:
+    """Touch the backend with a deadline.  The TPU here sits behind a
+    remote tunnel; when the tunnel is down even ``jax.devices()`` hangs
+    forever (CLAUDE.md), which would wedge the driver's round-end bench
+    run.  The probe runs in a daemon thread — on timeout the caller prints
+    an honest error line and exits instead of hanging."""
+    import threading
+    ok = []
+
+    def _probe():
+        import jax
+        ok.append(len(jax.devices()))
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    return bool(ok)
+
+
 def main():
+    if not probe_devices(float(os.environ.get("EAMM_BENCH_PROBE_TIMEOUT",
+                                              "300"))):
+        print(json.dumps({
+            "metric": "generated_frames_per_sec_per_chip_256px",
+            "value": 0,
+            "unit": "frames/sec/chip",
+            "vs_baseline": 0,
+            "detail": {"error": "device backend unreachable (remote TPU "
+                                "tunnel down): jax.devices() did not return "
+                                "within the probe timeout; no measurement "
+                                "taken this run"},
+        }))
+        os._exit(0)         # the hung backend thread cannot be joined
+
     from eamm_tpu.utils import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
 
