@@ -121,10 +121,14 @@ def video_fps(path: str | None, default: float = 25.0) -> float:
         return default
 
 
-def write_video(path: str, frames_uint8: np.ndarray, fps: float = 25.0):
-    """mp4 via imageio when a backend exists; otherwise a playable
-    uncompressed AVI from the native muxer (no codec/ffmpeg needed,
-    native/avi_writer.cc); PNG frames + npy as the last resort."""
+def write_video(path: str, frames_uint8: np.ndarray, fps: float = 25.0,
+                audio=None):
+    """mp4 via imageio when a backend exists (audio then remuxed by
+    ``add_audio``/ffmpeg); otherwise a playable uncompressed AVI from the
+    native muxer (no codec/ffmpeg needed, native/avi_writer.cc) with the
+    driving audio muxed in as a PCM stream — the reference's product is a
+    talking face *with sound* (ref:demo.py:427-431); PNG frames + npy as
+    the last resort."""
     try:
         import imageio.v2 as imageio
         imageio.mimsave(path, list(frames_uint8), fps=fps)
@@ -134,7 +138,7 @@ def write_video(path: str, frames_uint8: np.ndarray, fps: float = 25.0):
     try:
         from eamm_tpu.data.native import write_avi_rgb
         return write_avi_rgb(os.path.splitext(path)[0] + ".avi",
-                             frames_uint8, fps=fps)
+                             frames_uint8, fps=fps, audio=audio)
     except Exception:
         # dump PNG frames + raw npy
         stem = os.path.splitext(path)[0]
@@ -192,6 +196,18 @@ def main(argv=None):
                               overlap_segments=max(1, opt.overlap_segments),
                               compute_dtype=(jnp.bfloat16 if opt.bf16
                                              else jnp.float32))
+    # Checkpoint pre-flight: diff each .pth.tar's key inventory against the
+    # converters' expectations BEFORE conversion, so a renamed/incomplete
+    # checkpoint fails with a full report instead of a bare KeyError
+    # (ref:logger.py:52-81's by-name loading contract).
+    from eamm_tpu.compat.preflight import check_state_dict
+    for path in (opt.checkpoint, opt.audio_checkpoint, opt.emo_checkpoint):
+        report = check_state_dict(path)
+        if report.fatal:
+            raise SystemExit(str(report))
+        if not report.ok:
+            print(report)
+
     pipe = EammPipeline.from_torch_checkpoints(
         config, opt.checkpoint, opt.audio_checkpoint, opt.emo_checkpoint,
         options)
@@ -240,7 +256,7 @@ def main(argv=None):
                                     transformed_video=transformed,
                                     add_emo=True)
         path = write_video(os.path.join(opt.result_path, "emotion.mp4"),
-                           emotion, fps=out_fps)
+                           emotion, fps=out_fps, audio=(waveform, 16000))
         add_audio(path, opt.in_file)
         outputs["emotion"] = emotion
         T = len(emotion)
@@ -249,7 +265,7 @@ def main(argv=None):
         allv = np.concatenate([drv8, np.resize(neutral, emotion.shape),
                                emotion], axis=2)
         all_path = write_video(os.path.join(opt.result_path, "all.mp4"),
-                               allv, fps=25.0)
+                               allv, fps=25.0, audio=(waveform, 16000))
         add_audio(all_path, opt.in_file)
     print({k: v.shape for k, v in outputs.items()})
     return outputs

@@ -94,6 +94,19 @@ def main(argv=None):
                                          os.path.basename(opt.config)))
 
     print(f"mode={opt.mode} log_dir={log_dir}")
+
+    # Checkpoint pre-flight (full report instead of a deep KeyError; the
+    # reference's by-name loading contract, ref:train.py:283-299)
+    from eamm_tpu.compat.preflight import check_state_dict
+    for path in (opt.fomm_checkpoint, opt.audio_checkpoint,
+                 opt.emo_checkpoint):
+        if path and os.path.isfile(str(path)):
+            report = check_state_dict(str(path))
+            if report.fatal:
+                raise SystemExit(str(report))
+            if not report.ok:
+                print(report)
+
     if opt.mode in ("reconstruction", "animate"):
         # FOMM evaluation protocols (the reference run.py imports these
         # modules but they don't exist there — SURVEY.md §5.1)

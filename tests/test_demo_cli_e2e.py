@@ -107,6 +107,20 @@ def test_demo_cli_full_emotional_run(demo_env):
     if "neutral.avi" in produced:
         head = open(f"{d}/result/neutral.avi", "rb").read(12)
         assert head[:4] == b"RIFF" and head[8:12] == b"AVI "
+    if "emotion.avi" in produced:
+        # the delivered emotional video carries the driving audio as a PCM
+        # 'auds' stream with every input sample (ref:demo.py:427-431 — the
+        # reference's ffmpeg remux; here the muxer does it natively)
+        from tests.test_native import _parse_avi
+        hdr, frames = _parse_avi(f"{d}/result/emotion.avi")
+        assert hdr["streams"] == 2
+        aud = hdr["strl"][1]
+        assert aud["fcc_type"] == b"auds"
+        assert aud["samples_per_sec"] == 16000
+        assert aud["length"] == 16000          # the 1 s speech.wav, whole
+        assert len(frames) == len(out["emotion"])
+        pcm = np.frombuffer(b"".join(hdr["audio_chunks"]), np.int16)
+        assert pcm.shape[0] == 16000 and np.abs(pcm).max() > 1000
 
 
 def test_demo_cli_fps_propagation_and_cpu(demo_env, monkeypatch):
@@ -120,9 +134,9 @@ def test_demo_cli_fps_propagation_and_cpu(demo_env, monkeypatch):
 
     real_write = demo_mod.write_video
 
-    def spy_write(path, frames, fps=25.0):
+    def spy_write(path, frames, fps=25.0, audio=None):
         written[os.path.basename(path)] = fps
-        return real_write(path, frames, fps=fps)
+        return real_write(path, frames, fps=fps, audio=audio)
 
     monkeypatch.setattr(demo_mod, "write_video", spy_write)
     monkeypatch.setattr(demo_mod, "video_fps",

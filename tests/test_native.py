@@ -47,12 +47,17 @@ def test_decode_missing_file_raises(pngs):
 
 
 def _parse_avi(path):
-    """Minimal RIFF/AVI parser: returns (header dict, list of frame bytes)."""
+    """Minimal RIFF/AVI parser: returns (header dict, list of frame bytes).
+
+    Stream 0 (video) headers land in the top-level dict (legacy layout);
+    every stream also gets a dict in ``hdr["strl"]`` and audio ('01wb')
+    chunk payloads collect in ``hdr["audio_chunks"]`` in file order — used
+    by the audio tests to verify interleaving and sample counts."""
     import struct
     data = open(path, "rb").read()
     assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
     assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
-    pos, hdr, frames = 12, {}, []
+    pos, hdr, frames = 12, {"strl": [], "audio_chunks": [], "order": []}, []
     def walk(pos, end):
         while pos < end:
             cc = data[pos:pos + 4]
@@ -65,15 +70,35 @@ def _parse_avi(path):
                  hdr["streams"], _, hdr["w"], hdr["h"]) = struct.unpack(
                     "<10I", data[body:body + 40])
             elif cc == b"strh":
-                hdr["fcc_type"] = data[body:body + 4]
-                hdr["handler"] = data[body + 4:body + 8]
-                hdr["scale"], hdr["rate"] = struct.unpack(
-                    "<2I", data[body + 20:body + 28])
+                s = {"fcc_type": data[body:body + 4],
+                     "handler": data[body + 4:body + 8]}
+                (s["scale"], s["rate"], _, s["length"], s["bufsize"], _,
+                 s["sample_size"]) = struct.unpack(
+                    "<7I", data[body + 20:body + 48])
+                hdr["strl"].append(s)
+                if len(hdr["strl"]) == 1:
+                    hdr.update({k: v for k, v in s.items()
+                                if k in ("fcc_type", "handler", "scale",
+                                         "rate")})
             elif cc == b"strf":
-                hdr["bits"], = struct.unpack("<H", data[body + 14:body + 16])
-                hdr["compression"] = data[body + 16:body + 20]
+                s = hdr["strl"][-1]
+                if s["fcc_type"] == b"auds":
+                    (s["format_tag"], s["channels"], s["samples_per_sec"],
+                     s["avg_bytes"], s["block_align"],
+                     s["bits"]) = struct.unpack(
+                        "<2H2I2H", data[body:body + 16])
+                else:
+                    s["bits"], = struct.unpack(
+                        "<H", data[body + 14:body + 16])
+                    s["compression"] = data[body + 16:body + 20]
+                    hdr["bits"] = s["bits"]
+                    hdr["compression"] = s["compression"]
             elif cc == b"00db":
                 frames.append(data[body:body + size])
+                hdr["order"].append("v")
+            elif cc == b"01wb":
+                hdr["audio_chunks"].append(data[body:body + size])
+                hdr["order"].append("a")
             pos = body + size + (size & 1)
         return pos
     walk(pos, len(data))
@@ -113,6 +138,93 @@ def test_avi_i420_roundtrip(tmp_path):
         np.frombuffer(chunks[1][:256], np.uint8).reshape(16, 16), y[1])
     np.testing.assert_array_equal(
         np.frombuffer(chunks[1][256:320], np.uint8).reshape(8, 8), u[1])
+
+
+def test_avi_rgb_pcm_audio(tmp_path):
+    """The delivered talking face has SOUND: a second 'auds' PCM stream,
+    interleaved per frame, with every input sample present and in order
+    (ref:demo.py:427-431 — the ffmpeg remux this muxer replaces)."""
+    from eamm_tpu.data import native
+    rng = np.random.RandomState(3)
+    frames = rng.randint(0, 256, (5, 16, 12, 3), dtype=np.uint8)
+    # 5 frames @ 25 fps = 0.2 s -> 3200 samples @16k, plus a 137-sample tail
+    pcm = rng.randint(-32768, 32767, 3200 + 137, dtype=np.int16)
+    path = str(tmp_path / "sound.avi")
+    native.write_avi_rgb(path, frames, fps=25.0, audio=pcm,
+                         sample_rate=16000)
+    hdr, chunks = _parse_avi(path)
+    assert hdr["streams"] == 2 and len(hdr["strl"]) == 2
+    aud = hdr["strl"][1]
+    assert aud["fcc_type"] == b"auds"
+    assert aud["format_tag"] == 1 and aud["bits"] == 16    # PCM s16
+    assert aud["channels"] == 1 and aud["samples_per_sec"] == 16000
+    assert aud["length"] == 3200 + 137                     # every sample
+    got = np.frombuffer(b"".join(hdr["audio_chunks"]), np.int16)
+    np.testing.assert_array_equal(got, pcm)
+    # interleaved: video and audio chunks alternate (audio tail rides the
+    # final chunk), starting with frame 0's video
+    assert len(chunks) == 5
+    assert hdr["order"] == ["v", "a"] * 5
+    # frame i's audio chunk spans samples [i*640, (i+1)*640)
+    assert [len(c) // 2 for c in hdr["audio_chunks"]] == [640] * 4 + [777]
+
+
+def test_avi_audio_float_waveform_and_tuple(tmp_path):
+    """Float [-1,1] waveforms (load_audio output) and (array, rate) tuples
+    are accepted and converted to s16 PCM."""
+    from eamm_tpu.data import native
+    wave = np.sin(np.linspace(0, 40, 8000)).astype(np.float32)
+    frames = np.zeros((2, 8, 8, 3), np.uint8)
+    path = str(tmp_path / "wave.avi")
+    native.write_avi_rgb(path, frames, fps=25.0, audio=(wave, 8000))
+    hdr, _ = _parse_avi(path)
+    aud = hdr["strl"][1]
+    assert aud["samples_per_sec"] == 8000 and aud["length"] == 8000
+    got = np.frombuffer(b"".join(hdr["audio_chunks"]), np.int16)
+    np.testing.assert_allclose(got / 32767.0, wave, atol=1 / 32767.0)
+
+
+def test_avi_i420_pcm_audio(tmp_path):
+    from eamm_tpu.data import native
+    rng = np.random.RandomState(4)
+    y = rng.randint(0, 256, (3, 8, 8), dtype=np.uint8)
+    u = rng.randint(0, 256, (3, 4, 4), dtype=np.uint8)
+    v = rng.randint(0, 256, (3, 4, 4), dtype=np.uint8)
+    pcm = rng.randint(-1000, 1000, (1920, 2), dtype=np.int16)  # stereo
+    path = str(tmp_path / "s420.avi")
+    native.write_avi_i420(path, y, u, v, fps=25.0, audio=pcm,
+                          sample_rate=16000)
+    hdr, chunks = _parse_avi(path)
+    aud = hdr["strl"][1]
+    assert hdr["streams"] == 2 and aud["channels"] == 2
+    assert aud["block_align"] == 4 and aud["length"] == 1920
+    got = np.frombuffer(b"".join(hdr["audio_chunks"]),
+                        np.int16).reshape(-1, 2)
+    np.testing.assert_array_equal(got, pcm)
+    assert len(chunks) == 3
+
+
+def test_avi_audio_python_fallback_byte_identical(tmp_path, monkeypatch):
+    """The pure-python muxer emits the exact bytes of the C++ one for the
+    two-stream (video+PCM) layout too."""
+    from eamm_tpu.data import native
+    if not native.native_available():
+        pytest.skip("native lib unavailable; nothing to compare")
+    rng = np.random.RandomState(5)
+    frames = rng.randint(0, 256, (4, 8, 10, 3), dtype=np.uint8)
+    y = rng.randint(0, 256, (4, 8, 8), dtype=np.uint8)
+    u = rng.randint(0, 256, (4, 4, 4), dtype=np.uint8)
+    v = rng.randint(0, 256, (4, 4, 4), dtype=np.uint8)
+    pcm = rng.randint(-32768, 32767, 2000, dtype=np.int16)
+    a, b = str(tmp_path / "nat.avi"), str(tmp_path / "py.avi")
+    a2, b2 = str(tmp_path / "nat420.avi"), str(tmp_path / "py420.avi")
+    native.write_avi_rgb(a, frames, fps=29.97, audio=pcm)
+    native.write_avi_i420(a2, y, u, v, fps=29.97, audio=pcm)
+    monkeypatch.setattr(native, "_load_avi", lambda: None)
+    native.write_avi_rgb(b, frames, fps=29.97, audio=pcm)
+    native.write_avi_i420(b2, y, u, v, fps=29.97, audio=pcm)
+    assert open(a, "rb").read() == open(b, "rb").read()
+    assert open(a2, "rb").read() == open(b2, "rb").read()
 
 
 def test_avi_python_fallback_byte_identical(tmp_path, monkeypatch):
