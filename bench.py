@@ -86,56 +86,101 @@ def _cpu_allowed() -> bool:
     return os.environ.get("EAMM_BENCH_ALLOW_CPU") == "1"
 
 
-def _subprocess_probe(timeout_s: float) -> bool:
+def _subprocess_probe(timeout_s: float) -> tuple[bool, str]:
     """One backend probe in a disposable child process.  A hung or failed
     backend init cannot be retried in-process (jax caches the attempt and
     the probe thread stays stuck inside it), so tunnel-flap retries must
     happen in children; the parent binds its own backend only after a
-    child sees the device."""
+    child sees the device.
+
+    Returns (ok, reason): reason is 'timeout', 'cpu-only' (backend came up
+    but fell back to the CPU platform — a downed tunnel, CLAUDE.md), or a
+    stderr snippet for persistent non-flap failures (import/plugin errors).
+    """
     import subprocess
     import sys
-    want = ("True" if _cpu_allowed() else
-            "jax.devices()[0].platform != 'cpu'")
+    code = ("import jax, sys\n"
+            "ds = jax.devices()\n"
+            "assert ds, 'no devices'\n"
+            "if ds[0].platform == 'cpu':\n"
+            "    print('CPU_FALLBACK', file=sys.stderr); sys.exit(3)\n")
+    if _cpu_allowed():
+        code = "import jax; assert jax.devices()\n"
     try:
         r = subprocess.run(
-            [sys.executable, "-c",
-             f"import jax; assert jax.devices() and {want}"],
+            [sys.executable, "-c", code],
             timeout=timeout_s, stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL)
-        return r.returncode == 0
+            stderr=subprocess.PIPE)
     except subprocess.TimeoutExpired:
-        return False
+        return False, "timeout"
+    if r.returncode == 0:
+        return True, ""
+    err = (r.stderr or b"").decode("utf-8", "replace")
+    if "CPU_FALLBACK" in err:
+        return False, "cpu-only"
+    tail = " | ".join(line for line in err.strip().splitlines()[-3:])
+    return False, f"probe-error: {tail[:300]}"
 
 
-def wait_for_devices(total_s: float) -> bool:
+def wait_for_devices(total_s: float) -> tuple[bool, str]:
     """Retry backend probes until one passes or ``total_s`` elapses.  The
     remote tunnel flaps; a single fail-fast probe at round end would
     record an error line when waiting a couple of minutes yields a real
-    measurement."""
+    measurement.
+
+    Per-attempt cap: EAMM_BENCH_ATTEMPT_TIMEOUT (default 60 s, raised
+    toward the remaining window on the final attempt in case backend init
+    through the tunnel legitimately runs long).  Note the total can
+    overshoot ``total_s`` by up to one attempt plus the parent's own
+    60 s binding probe — the env var is a soft target, not a hard bound.
+
+    Returns (ok, last_failure_reason).
+    """
+    cap = float(os.environ.get("EAMM_BENCH_ATTEMPT_TIMEOUT", "60"))
     deadline = time.time() + total_s
+    reason = "timeout"
     while True:
         left = deadline - time.time()
         if left <= 0:
-            return False
-        if _subprocess_probe(min(60.0, left)):
+            return False, reason
+        ok, why = _subprocess_probe(min(cap, max(5.0, left)))
+        if ok:
             # the child saw the device; bind this process's backend with
             # whatever window remains (generous floor: init is slow)
-            return probe_devices(max(60.0, deadline - time.time()))
+            if probe_devices(max(60.0, deadline - time.time())):
+                return True, ""
+            return False, ("parent-bind: a child probe saw the device but "
+                           "this process could not bind the backend")
+        reason = why
+        # timeouts may mean backend init legitimately runs long through
+        # the tunnel: grow the per-attempt cap toward the remaining window
+        if why == "timeout":
+            cap = min(cap * 1.5, 300.0)
         time.sleep(min(20.0, max(0.0, deadline - time.time())))
 
 
+_PROBE_ERRORS = {
+    "timeout": "jax.devices() did not return within the probe timeout",
+    "cpu-only": "backend initialized but only the CPU fallback platform is "
+                "available (the remote TPU plugin found no device)",
+}
+
+
 def main():
-    if not wait_for_devices(float(os.environ.get("EAMM_BENCH_PROBE_TIMEOUT",
-                                                 "300"))):
+    # Soft target: wait_for_devices may overshoot by up to one attempt +
+    # the parent's 60 s binding probe (documented there).
+    ok, reason = wait_for_devices(
+        float(os.environ.get("EAMM_BENCH_PROBE_TIMEOUT", "300")))
+    if not ok:
+        detail = _PROBE_ERRORS.get(reason, reason)
         print(json.dumps({
             "metric": "generated_frames_per_sec_per_chip_256px",
             "value": 0,
             "unit": "frames/sec/chip",
             "vs_baseline": 0,
-            "detail": {"error": "device backend unreachable (remote TPU "
-                                "tunnel down): jax.devices() did not return "
-                                "within the probe timeout; no measurement "
-                                "taken this run"},
+            "detail": {"error": f"device backend unreachable (remote TPU "
+                                f"tunnel down): {detail}; no measurement "
+                                f"taken this run"},
         }))
         os._exit(0)         # the hung backend thread cannot be joined
 
@@ -186,16 +231,17 @@ def main():
     def fresh_wav():
         return wav + np.float32(1e-5 * next(_pert))
 
-    # Warm-up (compiles every stage), then best-of-7 with fresh inputs
+    # Warm-up (compiles every stage), then best-of-9 with fresh inputs
     # (defeats runtime-level result caching).  Best-of-N because the
     # delivered number is dominated by the remote device->host tunnel,
     # whose bandwidth swings ~2x between phases (CLAUDE.md) — the best
-    # run is the reproducible figure, the median is reported alongside.
+    # run is the reproducible figure, the median is reported alongside
+    # (more trials -> a phase-robust median in the recorded artifact).
     y, _, _ = pipe.render_yuv420(src, wav, pose, add_emo=False)
     n_frames = y.shape[0]
 
     times = []
-    for i in range(7):
+    for i in range(9):
         w = fresh_wav()
         t0 = time.time()
         pipe.render_yuv420(src, w, pose, add_emo=False)
@@ -266,18 +312,22 @@ def main():
             emo_times.append(time.time() - t0)
         emo_fps = out_e[0].shape[0] / min(emo_times)
 
-    # Batched clip inference (BASELINE config 3): 4 identities x 10 s.
-    n_id = 4
+    # Batched clip inference (BASELINE config 3): 8 identities x 10 s,
+    # best-of-3 with fresh inputs (same phase-noise discipline as the
+    # single-clip number).
+    n_id = 8
     sources = rng.rand(n_id, 256, 256, 3).astype(np.float32)
     wavs = [(0.1 * rng.randn(16000 * 10)).astype(np.float32)
             for _ in range(n_id)]
     poses = [rng.randn(1, 7).astype(np.float32) for _ in range(n_id)]
     out = pipe.render_batch_yuv420(sources, wavs, poses)      # compile
-    wavs2 = [w + np.float32(1e-5 * next(_pert)) for w in wavs]
-    t0 = time.time()
-    out = pipe.render_batch_yuv420(sources, wavs2, poses)
-    batch_dt = time.time() - t0
-    batch_fps = out[0].shape[0] * out[0].shape[1] / batch_dt
+    batch_times = []
+    for i in range(3):
+        wavs2 = [w + np.float32(1e-5 * next(_pert)) for w in wavs]
+        t0 = time.time()
+        out = pipe.render_batch_yuv420(sources, wavs2, poses)
+        batch_times.append(time.time() - t0)
+    batch_fps = out[0].shape[0] * out[0].shape[1] / min(batch_times)
 
     ref_fps = reference_fps()
     print(json.dumps({

@@ -24,18 +24,25 @@ def _str2bool(v):
 
 def build_parser() -> ArgumentParser:
     parser = ArgumentParser(description=__doc__)
-    parser.add_argument("--config", required=True, help="path to config yaml")
-    parser.add_argument("--checkpoint", required=True,
+    parser.add_argument("--smoke", action="store_true",
+                        help="one-command end-to-end smoke run: random "
+                             "weights (configs/smoke.yaml) over the "
+                             "checked-in kit in assets/demo/ — the "
+                             "equivalent of the reference's bundled sample "
+                             "inputs (ref:test/, ref:demo.py:536-541); any "
+                             "explicitly passed flag still wins")
+    parser.add_argument("--config", default=None, help="path to config yaml")
+    parser.add_argument("--checkpoint", default=None,
                         help="FOMM (generator+kp_detector) torch checkpoint")
-    parser.add_argument("--audio_checkpoint", required=True,
+    parser.add_argument("--audio_checkpoint", default=None,
                         help="audio (audio_feature+kp_detector_a) checkpoint")
-    parser.add_argument("--emo_checkpoint", required=True,
+    parser.add_argument("--emo_checkpoint", default=None,
                         help="emotion displacement checkpoint")
-    parser.add_argument("--source_image", required=True)
+    parser.add_argument("--source_image", default=None)
     parser.add_argument("--driving_video", default=None,
                         help="emotion-source video (required for --add_emo)")
-    parser.add_argument("--in_file", required=True, help="driving audio")
-    parser.add_argument("--pose_file", required=True, help="[N,7] pose npy")
+    parser.add_argument("--in_file", default=None, help="driving audio")
+    parser.add_argument("--pose_file", default=None, help="[N,7] pose npy")
     parser.add_argument("--pose_given", default=None,
                         help="long pose trajectory npy for --pose_long")
     parser.add_argument("--result_path", default="result/")
@@ -165,8 +172,44 @@ def add_audio(video_path: str, audio_path: str):
                     "copy", "-acodec", "copy", "-y", out], check=False)
 
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def _apply_smoke_defaults(opt):
+    """Fill unset flags from the checked-in kit (assets/demo/) + the small
+    smoke config; runs with random weights when no checkpoints are given."""
+    kit = os.path.join(REPO_ROOT, "assets", "demo")
+    defaults = {
+        "config": os.path.join(REPO_ROOT, "configs", "smoke.yaml"),
+        "source_image": os.path.join(kit, "portrait.png"),
+        "in_file": os.path.join(kit, "speech.wav"),
+        "pose_file": os.path.join(kit, "pose.npy"),
+        "driving_video": os.path.join(kit, "emotion_clip.npy"),
+    }
+    for key, value in defaults.items():
+        if getattr(opt, key) is None:
+            setattr(opt, key, value)
+    # the kit's emotion clip is already aligned/synthetic; the portrait is
+    # already 256x256
+    opt.no_crop = True
+    opt.no_align = True
+    return opt
+
+
 def main(argv=None):
     opt = build_parser().parse_args(argv)
+    if opt.smoke:
+        opt = _apply_smoke_defaults(opt)
+    else:
+        missing = [f for f in ("config", "checkpoint", "audio_checkpoint",
+                               "emo_checkpoint", "source_image", "in_file",
+                               "pose_file") if getattr(opt, f) is None]
+        if missing:
+            raise SystemExit(
+                "missing required arguments: "
+                + ", ".join(f"--{m}" for m in missing)
+                + " (or pass --smoke for the self-contained demo)")
 
     if opt.cpu:
         # must precede the first jax backend query (one-shot; the container
@@ -196,21 +239,26 @@ def main(argv=None):
                               overlap_segments=max(1, opt.overlap_segments),
                               compute_dtype=(jnp.bfloat16 if opt.bf16
                                              else jnp.float32))
-    # Checkpoint pre-flight: diff each .pth.tar's key inventory against the
-    # converters' expectations BEFORE conversion, so a renamed/incomplete
-    # checkpoint fails with a full report instead of a bare KeyError
-    # (ref:logger.py:52-81's by-name loading contract).
-    from eamm_tpu.compat.preflight import check_state_dict
-    for path in (opt.checkpoint, opt.audio_checkpoint, opt.emo_checkpoint):
-        report = check_state_dict(path)
-        if report.fatal:
-            raise SystemExit(str(report))
-        if not report.ok:
-            print(report)
+    if opt.checkpoint is None:
+        # --smoke without checkpoints: random weights, real pipeline
+        pipe = EammPipeline.from_random(config, options=options)
+    else:
+        # Checkpoint pre-flight: diff each .pth.tar's key inventory against
+        # the converters' expectations BEFORE conversion, so a renamed /
+        # incomplete checkpoint fails with a full report instead of a bare
+        # KeyError (ref:logger.py:52-81's by-name loading contract).
+        from eamm_tpu.compat.preflight import check_state_dict
+        for path in (opt.checkpoint, opt.audio_checkpoint,
+                     opt.emo_checkpoint):
+            report = check_state_dict(path)
+            if report.fatal:
+                raise SystemExit(str(report))
+            if not report.ok:
+                print(report)
 
-    pipe = EammPipeline.from_torch_checkpoints(
-        config, opt.checkpoint, opt.audio_checkpoint, opt.emo_checkpoint,
-        options)
+        pipe = EammPipeline.from_torch_checkpoints(
+            config, opt.checkpoint, opt.audio_checkpoint, opt.emo_checkpoint,
+            options)
 
     # ---- inputs
     import imageio.v2 as imageio

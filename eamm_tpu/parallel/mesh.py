@@ -80,3 +80,17 @@ def shard_stacked_batch(tree, mesh: Mesh, axis_name: str = "data"):
     """Device-put a [K, B, ...] stack of K batches (multi-step dispatch):
     the scan axis K stays whole, the batch axis shards over the mesh."""
     return _put(tree, NamedSharding(mesh, P(None, axis_name)))
+
+
+def replicate_tree(tree, mesh: Mesh):
+    """Replicate a pytree across every device of the mesh, multi-host
+    safe: under ``jax.distributed`` each process contributes its identical
+    full copy (model state is computed identically on every host from the
+    same seed — the reference's DataParallel broadcast, done by
+    construction)."""
+    sh = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), tree)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

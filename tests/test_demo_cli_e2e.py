@@ -123,6 +123,26 @@ def test_demo_cli_full_emotional_run(demo_env):
         assert pcm.shape[0] == 16000 and np.abs(pcm).max() > 1000
 
 
+def test_demo_cli_smoke(tmp_path):
+    """`eamm-demo --smoke`: ONE command, zero user inputs — the checked-in
+    kit (assets/demo/) + random small weights produce all three videos
+    (the reference's bundled-sample-data smoke flow, ref:test/ +
+    ref:demo.py:536-541)."""
+    from eamm_tpu.cli.demo import main
+    out = main(["--smoke", "--result_path", str(tmp_path / "result")])
+    assert set(out) == {"neutral", "emotion"}
+    assert out["neutral"].shape[1:] == (256, 256, 3)
+    produced = set(os.listdir(str(tmp_path / "result")))
+    assert any(name.startswith("neutral") for name in produced)
+    assert any(name.startswith("emotion") for name in produced)
+    assert any(name.startswith("all") for name in produced)
+    if "emotion.avi" in produced:
+        from tests.test_native import _parse_avi
+        hdr, _ = _parse_avi(str(tmp_path / "result" / "emotion.avi"))
+        assert hdr["streams"] == 2          # sound included
+        assert hdr["strl"][1]["length"] == 32000   # the kit's 2 s wav
+
+
 def test_demo_cli_fps_propagation_and_cpu(demo_env, monkeypatch):
     """neutral/emotion play at the driving video's fps, all.mp4 at 25
     (ref:demo.py:480,507,514,425); --cpu runs the pipeline on the cpu

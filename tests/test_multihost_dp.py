@@ -1,0 +1,52 @@
+"""Multi-host data parallelism smoke test: 2 CPU processes under
+``jax.distributed``, each with 4 virtual devices (8 global), running ONE
+part1 step over a global mesh with disjoint per-host batch slices —
+the wiring of ``DataLoader(shard=...)`` +
+``jax.make_array_from_process_local_data`` (PARITY §2.5) actually
+executed across processes, which the reference (single-process
+DataParallel, ref:train.py:53-63) never could."""
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_dp_part1_step():
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "multihost_worker.py")
+    port = str(_free_port())
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)     # worker pins cpu itself
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", port],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=900)
+            assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    lines = [next(line for line in o.splitlines()
+                  if line.startswith("MULTIHOST_OK")) for o in outs]
+    losses = [float(line.split("loss=")[1].split()[0]) for line in lines]
+    digests = [line.split("batch=")[1].strip() for line in lines]
+    # SPMD: both processes compute the SAME global loss ...
+    assert losses[0] == pytest.approx(losses[1], abs=1e-5), losses
+    assert all(l == l and abs(l) < 1e6 for l in losses)     # finite
+    # ... from DIFFERENT local batch slices (the disjoint shard contract)
+    assert digests[0] != digests[1], digests
