@@ -266,7 +266,7 @@ def main():
     # Compute-only fps (tiny on-device readback forces completion without
     # the bulk transfer): the chip-side capability independent of the
     # host-link phase.
-    T, args = pipe._prepare_full_render_args(src, wav, pose, None, False)
+    T, args, _ = pipe._prepare_full_render_args(src, wav, pose, None, False)
     out = pipe._full_render(pipe.vars, *args, add_emo=False)
     np.asarray(out[0][:1, :2, :2])
     compute_best = float("inf")
@@ -295,22 +295,47 @@ def main():
     rgb_pipe.render_uint8(src, w, pose, add_emo=False)
     rgb_fps = n_frames / (time.time() - t0)
 
-    # Full emotional path (BASELINE config 2), opt-in via EAMM_BENCH_FULL=1
-    # (adds a second whole-clip program compile to the bench budget).
-    emo_fps = None
-    if os.environ.get("EAMM_BENCH_FULL") == "1":
+    # Full emotional path (BASELINE config 2).  Default: run it when the
+    # persistent compile cache looks warm (its two extra whole-clip
+    # programs then cost seconds, not the ~17 min cold compile through the
+    # remote-compile tunnel).  EAMM_BENCH_FULL=1/0 overrides either way.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    full_default = ("1" if os.path.isdir(cache_dir)
+                    and len(os.listdir(cache_dir)) > 100 else "0")
+    emo_fps = emo_cold_fps = emo_vs_neutral = None
+    if os.environ.get("EAMM_BENCH_FULL", full_default) == "1":
         emo_frames = rng.rand(20, 256, 256, 3).astype(np.float32)
-        pipe.render_yuv420(src, wav, pose, transformed_video=emo_frames,
-                           add_emo=True)
-        emo_times = []
-        for i in range(3):
-            w = fresh_wav()
+        # serving configuration: the emotion clip is fixed across requests,
+        # so it is uploaded + trunk-encoded ONCE (prepare_emotion); the cold
+        # number (per-call upload + trunk, the one-shot demo scenario) is
+        # reported alongside.  Neutral / cold / handle are interleaved per
+        # round — the tunnel's ~2x phase swings make only same-round ratios
+        # meaningful (CLAUDE.md).
+        pipe.render_yuv420(src, fresh_wav(), pose,
+                           transformed_video=emo_frames, add_emo=True)
+        handle = pipe.prepare_emotion(emo_frames)
+        pipe.render_yuv420(src, fresh_wav(), pose,
+                           transformed_video=handle, add_emo=True)
+        rounds = {"n": [], "ec": [], "eh": []}
+        for i in range(5):
             t0 = time.time()
-            out_e = pipe.render_yuv420(src, w, pose,
-                                       transformed_video=emo_frames,
+            pipe.render_yuv420(src, fresh_wav(), pose, add_emo=False)
+            rounds["n"].append(time.time() - t0)
+            t0 = time.time()
+            pipe.render_yuv420(src, fresh_wav(), pose,
+                               transformed_video=emo_frames, add_emo=True)
+            rounds["ec"].append(time.time() - t0)
+            t0 = time.time()
+            out_e = pipe.render_yuv420(src, fresh_wav(), pose,
+                                       transformed_video=handle,
                                        add_emo=True)
-            emo_times.append(time.time() - t0)
-        emo_fps = out_e[0].shape[0] / min(emo_times)
+            rounds["eh"].append(time.time() - t0)
+        T_e = out_e[0].shape[0]
+        emo_fps = T_e / min(rounds["eh"])
+        emo_cold_fps = T_e / min(rounds["ec"])
+        ratios = sorted(n / e for n, e in zip(rounds["n"], rounds["eh"]))
+        emo_vs_neutral = ratios[len(ratios) // 2]
 
     # Batched clip inference (BASELINE config 3): 8 identities x 10 s,
     # best-of-3 with fresh inputs (same phase-noise discipline as the
@@ -345,7 +370,10 @@ def main():
                    "rgb_uint8_frames_per_sec": round(rgb_fps, 2),
                    "batched_identities": n_id,
                    "batched_frames_per_sec": round(batch_fps, 2),
-                   **({"emotional_frames_per_sec": round(emo_fps, 2)}
+                   **({"emotional_frames_per_sec": round(emo_fps, 2),
+                       "emotional_cold_frames_per_sec": round(emo_cold_fps, 2),
+                       "emotional_vs_neutral_same_phase":
+                           round(emo_vs_neutral, 3)}
                       if emo_fps else {}),
                    "torch_cpu_reference_fps": round(ref_fps, 2)},
     }))

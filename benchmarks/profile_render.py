@@ -64,7 +64,7 @@ def main():
             FULL_CONFIG, options=PipelineOptions(
                 frame_chunk=128, time_bucket=128, add_emo=False,
                 compute_dtype=dt))
-        T, full_args = pipe._prepare_full_render_args(
+        T, full_args, _ = pipe._prepare_full_render_args(
             src_np, wav, pose, None, False)
         Tp = full_args[2].shape[0]
 
@@ -100,7 +100,7 @@ def main():
         results[f"full_neutral_fps_{dtype_name}"] = round(Tp / dtm, 1)
 
         # --- full fused emotional program (compute only)
-        T2, full_args_e = pipe._prepare_full_render_args(
+        T2, full_args_e, _ = pipe._prepare_full_render_args(
             src_np, wav, pose, emo_np, True)
         fr = pipe._full_render(pipe.vars, *full_args_e, add_emo=True)
         _block(fr)
@@ -118,6 +118,31 @@ def main():
                 _block(pipe._full_render(pipe.vars, *full_args_e,
                                          add_emo=True))
             results["trace_dir"] = args.trace
+
+        if dtype_name == "bf16":
+            # XLA's own cost model for the whole-clip program: FLOPs and
+            # bytes accessed -> MFU / HBM-bandwidth utilization at the
+            # measured compute-only fps (the render roofline, BASELINE.md).
+            try:
+                lowered = pipe._full_render.lower(
+                    pipe.vars, *full_args, add_emo=False)
+                ca = lowered.compile().cost_analysis()
+                ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                flops = float(ca.get("flops", 0.0))
+                bytes_acc = float(ca.get("bytes accessed", 0.0))
+                secs = results[f"full_neutral_ms_{dtype_name}"] / 1e3
+                results["roofline_bf16"] = {
+                    "program_gflops": round(flops / 1e9, 1),
+                    "program_gbytes": round(bytes_acc / 1e9, 2),
+                    "achieved_tflops_per_s": round(flops / secs / 1e12, 2),
+                    "mfu_pct_of_197tflops": round(
+                        100 * flops / secs / 197e12, 1),
+                    "hbm_gb_per_s": round(bytes_acc / secs / 1e9, 1),
+                    "hbm_pct_of_819gbps": round(
+                        100 * bytes_acc / secs / 819e9, 1),
+                }
+            except Exception as e:          # cost_analysis is best-effort
+                results["roofline_bf16"] = {"error": str(e)}
 
     print(json.dumps(results))
 

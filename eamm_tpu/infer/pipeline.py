@@ -75,6 +75,26 @@ _EMO_HEAD = {"linear_3": "linear", "linear_4": "linear_4",
              "linear_np_10": "linear_np_10", "map": "map", "map_4": "map_4"}
 
 
+@dataclasses.dataclass
+class EmotionHandle:
+    """Device-resident emotion-clip state, reusable across renders.
+
+    The emotional path's per-call overhead over neutral is NOT compute (the
+    trunk adds ~6 ms on a v5e): it is the host->device upload of the emotion
+    frames (uint8 256^2x3 ~ 192 KiB/frame through the ~30 MB/s tunnel) paid
+    again on every render call.  In the product scenario the emotion clip is
+    fixed while the audio varies (ref:demo.py:496-515 loads one emotion video
+    per run; a style server reuses it across requests), so
+    :meth:`EammPipeline.prepare_emotion` uploads once — and, for the linear
+    heads, precomputes the [U, 512] trunk feature table so later renders
+    contain no emotion pixels at all.  Pass the handle anywhere
+    ``transformed_video`` is accepted.
+    """
+    frames: jax.Array            # [U, 256, 256, 3] device (upload format)
+    feats: jax.Array | None      # [Ub, 512] f32 trunk features (linear heads)
+    n_frames: int                # true U (feats rows past this are padding)
+
+
 def _bucket(n: int, b: int) -> int:
     return max(b, int(math.ceil(n / b)) * b)
 
@@ -126,17 +146,20 @@ class EammPipeline:
         # device buffers, not baked-in constants).
         self._audio_kp_stage = jax.jit(self._audio_kp_stage_impl)
         self._emotion_stage = jax.jit(self._emotion_stage_impl)
+        self._emo_feature = jax.jit(self._emo_feature_impl)
         self._compose_kp = jax.jit(self._compose_kp_impl)
         self._render_chunk = jax.jit(self._render_chunk_impl)
         # Whole-clip fused path: ONE dispatch per clip (the per-dispatch
         # latency of a remote/queued TPU runtime would otherwise dominate).
-        self._full_render = jax.jit(self._full_render_impl,
-                                    static_argnames=("add_emo",))
+        self._full_render = jax.jit(
+            self._full_render_impl,
+            static_argnames=("add_emo", "emo_from_feats"))
         self._batch_render = jax.jit(self._batch_render_impl)
         # Overlapped delivery: one cheap kp-stage dispatch + S identical
         # render-segment dispatches whose fetch overlaps later compute.
-        self._kp_stage = jax.jit(self._kp_stage_impl,
-                                 static_argnames=("add_emo",))
+        self._kp_stage = jax.jit(
+            self._kp_stage_impl,
+            static_argnames=("add_emo", "emo_from_feats"))
         self._render_segment = jax.jit(self._render_segment_impl,
                                        static_argnames=("seg_frames",))
         self._batch_kp_stage = jax.jit(self._batch_kp_stage_impl)
@@ -168,7 +191,8 @@ class EammPipeline:
         return kp_source, smoothed, kp_initial, deco
 
     def _emotion_stage_impl(self, variables, transformed_frames, kp_value,
-                            kp_jacobian, frame_index=None):
+                            kp_jacobian, frame_index=None,
+                            emo_from_feats: bool = False):
         """Per-frame emotion displacements, smoothed (ref:demo.py:221-238).
 
         When ``frame_index`` is given, ``transformed_frames`` holds only the
@@ -178,12 +202,22 @@ class EammPipeline:
         runs once per unique frame and only the cheap keypoint-conditioned
         MLP heads run per timestep — the reference's own
         ``emotion_feature`` decomposition (ref:modules/util.py:1459-1475).
+
+        With ``emo_from_feats`` (static), ``transformed_frames`` is instead
+        the PRECOMPUTED [U, 512] trunk feature table from
+        :meth:`prepare_emotion` — the 256^2 trunk never appears in the
+        program and no emotion pixels cross the host->device link.
         """
         o = self.options
         m, v = self.models, variables
         head = _EMO_HEAD[o.emo_type]
         emo_model = m["emo_detector"]
-        if frame_index is not None and head == "linear" \
+        if emo_from_feats:
+            feats = transformed_frames.astype(jnp.float32)[frame_index]
+            kp, _ = emo_model.apply(v["emo_detector"], feats, kp_value,
+                                    kp_jacobian,
+                                    method=emo_model.emotion_feature)
+        elif frame_index is not None and head == "linear" \
                 and hasattr(emo_model, "emotion_feature"):
             # the 256^2 hourglass+ResNet trunk dominates the emotional
             # path's compute; run it in the pipeline compute dtype (the
@@ -217,6 +251,52 @@ class EammPipeline:
                                         beta=0.2, freq=100, scale=100.0),
         }
 
+    def _emo_feature_impl(self, variables, frames):
+        """Trunk feature table for :meth:`prepare_emotion`: [U,256,256,3]
+        emotion frames -> [U, 512] f32 features.  Must match the trunk
+        computation inside ``_emotion_stage_impl`` (same compute dtype) so a
+        handle-based render equals the frames-based one."""
+        o = self.options
+        emo_model = self.models["emo_detector"]
+        if frames.dtype == jnp.uint8:
+            frames = frames.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        dt = o.compute_dtype
+        evars = variables["emo_detector"]
+        if dt != jnp.float32:
+            evars = jax.tree.map(
+                lambda x: x.astype(dt)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, evars)
+            frames = frames.astype(dt)
+        feats = emo_model.apply(evars, frames, method=emo_model.feature)
+        return feats.astype(jnp.float32)
+
+    def prepare_emotion(self, transformed_video) -> EmotionHandle:
+        """Upload an emotion clip once and precompute its trunk features.
+
+        Returns an :class:`EmotionHandle` usable as ``transformed_video`` in
+        every render entry point.  Renders with a handle skip the per-call
+        emotion-frame upload entirely; with the linear heads they also skip
+        the 256^2 trunk (the [U, 512] feature table is computed here, padded
+        to a 32-row bucket so repeat ``prepare_emotion`` calls at different
+        clip lengths reuse one compiled trunk program)."""
+        o = self.options
+        frames = np.asarray(transformed_video, np.float32)
+        U = frames.shape[0]
+        if o.transfer_format == "yuv420":
+            up = np.clip(np.rint(frames * 255.0), 0, 255).astype(np.uint8)
+        else:
+            up = frames
+        dev = jnp.asarray(up)
+        feats = None
+        emo_model = self.models["emo_detector"]
+        if _EMO_HEAD[o.emo_type] == "linear" \
+                and hasattr(emo_model, "emotion_feature"):
+            Ub = _bucket(U, 32)
+            padded = np.zeros((Ub,) + up.shape[1:], up.dtype)
+            padded[:U] = up
+            feats = self._emo_feature(self.vars, jnp.asarray(padded))
+        return EmotionHandle(frames=dev, feats=feats, n_frames=U)
+
     def _compose_kp_impl(self, kp_audio, emo):
         """Add emotion displacement to kp 1 (x0.2), 4, 6 (ref:demo.py:263-273)."""
         value = kp_audio["value"]
@@ -247,7 +327,8 @@ class EammPipeline:
         return out["prediction"]
 
     def _clip_kp_impl(self, variables, source_image, waveform, pose,
-                      transformed_frames, add_emo: bool):
+                      transformed_frames, add_emo: bool, frame_index=None,
+                      emo_from_feats: bool = False):
         """Whole-clip keypoint production (the sequential, cheap part):
         raw waveform -> MFCC -> A2FD -> audio kp -> smoothing -> (emotion
         displacement) -> relative normalization.  Returns (kp_norm over Tp,
@@ -256,18 +337,21 @@ class EammPipeline:
         mfcc_windows = audio_to_mfcc_windows(waveform)[:Tp]
         return self._clip_kp_from_windows_impl(
             variables, source_image, mfcc_windows, pose, transformed_frames,
-            add_emo)
+            add_emo, frame_index=frame_index, emo_from_feats=emo_from_feats)
 
     def _clip_kp_from_windows_impl(self, variables, source_image,
                                    mfcc_windows, pose, transformed_frames,
-                                   add_emo: bool, frame_index=None):
+                                   add_emo: bool, frame_index=None,
+                                   emo_from_feats: bool = False):
         """Clip keypoints from precomputed MFCC windows.  ``frame_index``
         (optional [Tp] int32) maps timestep -> emotion-frame row explicitly;
         when None it is derived from the frame count (the live path).  An
         explicit index makes the program exportable at a fixed emotion-frame
-        bucket: padding rows are never referenced."""
+        bucket: padding rows are never referenced.  ``emo_from_feats``
+        (static): ``transformed_frames`` is a [U, 512] precomputed trunk
+        feature table (see :meth:`prepare_emotion`)."""
         o = self.options
-        if transformed_frames.dtype == jnp.uint8:
+        if not emo_from_feats and transformed_frames.dtype == jnp.uint8:
             # production upload format: the host ships emotion frames as
             # uint8 (4x fewer bytes over the ~30 MB/s host->device link)
             # and the program rescales on device
@@ -284,13 +368,16 @@ class EammPipeline:
             Tp = kp_audio["value"].shape[0]
             if frame_index is None:
                 U = transformed_frames.shape[0]
-                frame_index = jnp.arange(Tp) % U if U < Tp else None
-                if frame_index is None:
-                    transformed_frames = transformed_frames[:Tp]
+                if emo_from_feats:
+                    frame_index = jnp.arange(Tp) % U
+                else:
+                    frame_index = jnp.arange(Tp) % U if U < Tp else None
+                    if frame_index is None:
+                        transformed_frames = transformed_frames[:Tp]
             emo = self._emotion_stage_impl(
                 variables, transformed_frames,
                 kp_audio["value"], kp_audio["jacobian"],
-                frame_index=frame_index)
+                frame_index=frame_index, emo_from_feats=emo_from_feats)
             kp_driving = self._compose_kp_impl(kp_audio, emo)
         else:
             kp_driving = kp_audio
@@ -358,7 +445,8 @@ class EammPipeline:
         return frames.reshape(n_chunks * F, *frames.shape[2:])
 
     def _full_render_impl(self, variables, source_image, waveform, pose,
-                          transformed_frames, add_emo: bool):
+                          transformed_frames, add_emo: bool, frame_index=None,
+                          emo_from_feats: bool = False):
         """Entire clip in one XLA program: raw waveform -> MFCC -> kp ->
         (emotion) -> normalize -> chunked batched rendering -> frames.
 
@@ -370,7 +458,7 @@ class EammPipeline:
         """
         kp_norm, kp_s_f32 = self._clip_kp_impl(
             variables, source_image, waveform, pose, transformed_frames,
-            add_emo)
+            add_emo, frame_index=frame_index, emo_from_feats=emo_from_feats)
         return self._decode_clip(variables, source_image, kp_norm, kp_s_f32)
 
     def _decode_clip(self, variables, source_image, kp_norm, kp_s_f32):
@@ -403,13 +491,14 @@ class EammPipeline:
         return self._decode_clip(variables, source_image, kp_norm, kp_s_f32)
 
     def _kp_stage_impl(self, variables, source_image, waveform, pose,
-                       transformed_frames, add_emo: bool):
+                       transformed_frames, add_emo: bool, frame_index=None,
+                       emo_from_feats: bool = False):
         """First dispatch of the overlapped path: whole-clip keypoints plus
         the encoded source features.  Outputs stay on device; the render
         segments consume them without a host round trip."""
         kp_norm, kp_s = self._clip_kp_impl(
             variables, source_image, waveform, pose, transformed_frames,
-            add_emo)
+            add_emo, frame_index=frame_index, emo_from_feats=emo_from_feats)
         gvars, dt = self._cast_generator(variables)
         gen = self.models["generator"]
         feats = gen.apply(gvars, source_image.astype(dt),
@@ -779,11 +868,12 @@ class EammPipeline:
         if o.transfer_format != "yuv420":
             raise ValueError("render_yuv420 requires transfer_format='yuv420'")
         add_emo = o.add_emo if add_emo is None else add_emo
-        T, args = self._prepare_full_render_args(
+        T, args, emo_kw = self._prepare_full_render_args(
             source_image, waveform, all_pose, transformed_video, add_emo)
         if o.overlap_segments > 1:
-            return self._render_overlapped(args, add_emo, T)
-        y, u, v = self._full_render(self.vars, *args, add_emo=add_emo)
+            return self._render_overlapped(args, add_emo, T, emo_kw)
+        y, u, v = self._full_render(self.vars, *args, add_emo=add_emo,
+                                    **emo_kw)
         ns = max(1, o.fetch_streams)
         ny = max(1, (2 * ns) // 3)   # Y holds 2/3 of the bytes
         q = [T * i // ny for i in range(ny + 1)]   # padded tail never fetched
@@ -792,7 +882,7 @@ class EammPipeline:
         return (np.concatenate(fetched[:ny], axis=0),
                 fetched[ny], fetched[ny + 1])
 
-    def _render_overlapped(self, args, add_emo, T):
+    def _render_overlapped(self, args, add_emo, T, emo_kw=None):
         """Pipelined delivery: dispatch the kp stage, then all S render
         segments back-to-back (dispatch is asynchronous), and fetch the
         segments in completion order — segment i's device->host transfer
@@ -803,7 +893,8 @@ class EammPipeline:
         o = self.options
         src = args[0]
         kv, kj, kp_s, feats = self._kp_stage(self.vars, *args,
-                                             add_emo=add_emo)
+                                             add_emo=add_emo,
+                                             **(emo_kw or {}))
         S = o.overlap_segments
         Tp = kv.shape[0]
         Tseg = Tp // S
@@ -861,11 +952,11 @@ class EammPipeline:
             raise ValueError("render_stream does not support adapt_scale "
                              "(its convex-hull scale is a host round trip)")
         add_emo = o.add_emo if add_emo is None else add_emo
-        T, args = self._prepare_full_render_args(
+        T, args, emo_kw = self._prepare_full_render_args(
             source_image, waveform, all_pose, transformed_video, add_emo)
         src = args[0]
         kv, kj, kp_s, feats = self._kp_stage(self.vars, *args,
-                                             add_emo=add_emo)
+                                             add_emo=add_emo, **emo_kw)
         S = max(1, o.overlap_segments)
         Tp = kv.shape[0]
         Tseg = Tp // S
@@ -895,11 +986,11 @@ class EammPipeline:
             frames = self._render_staged(source_image, waveform, all_pose,
                                          transformed_video, add_emo)
             return np.clip(np.round(frames * 255.0), 0, 255).astype(np.uint8)
-        T, args = self._prepare_full_render_args(
+        T, args, emo_kw = self._prepare_full_render_args(
             source_image, waveform, all_pose, transformed_video, add_emo)
         if o.overlap_segments > 1:
-            return self._render_overlapped(args, add_emo, T)
-        out = self._full_render(self.vars, *args, add_emo=add_emo)
+            return self._render_overlapped(args, add_emo, T, emo_kw)
+        out = self._full_render(self.vars, *args, add_emo=add_emo, **emo_kw)
         return np.asarray(out)[:T]
 
     def _prepare_full_render_args(self, source_image, waveform, all_pose,
@@ -922,24 +1013,42 @@ class EammPipeline:
         pose_p = np.zeros((Tp, 6), np.float32)
         pose_p[:T] = self.prepare_pose(all_pose, T)
 
+        emo_kw = {}
         if add_emo:
             if transformed_video is None:
                 raise ValueError("add_emo requires transformed_video frames")
-            # keep only the unique frames; the fused program cycles them with
-            # modular indexing (== np.resize semantics, ref:demo.py:499-500)
-            frames = np.asarray(transformed_video, np.float32)[:Tp]
-            if o.transfer_format == "yuv420":
-                # lossy delivery path: quantize the upload to uint8 too
-                # (visually lossless; the bit-exact "rgb" path ships f32)
-                frames = np.clip(np.rint(frames * 255.0), 0,
-                                 255).astype(np.uint8)
-            emo_frames = jnp.asarray(frames)
+            if isinstance(transformed_video, EmotionHandle):
+                h = transformed_video
+                if h.feats is not None:
+                    # zero-upload, zero-trunk path: the program consumes the
+                    # precomputed [Ub, 512] feature table; the timestep ->
+                    # frame index is built host-side with the TRUE row count
+                    # so feats padding rows are never gathered
+                    emo_frames = h.feats
+                    emo_kw = {
+                        "frame_index": jnp.asarray(
+                            (np.arange(Tp) % h.n_frames).astype(np.int32)),
+                        "emo_from_feats": True,
+                    }
+                else:
+                    # non-linear heads: device-cached frames (upload saved)
+                    emo_frames = h.frames
+            else:
+                # keep only the unique frames; the fused program cycles them
+                # with modular indexing (== np.resize, ref:demo.py:499-500)
+                frames = np.asarray(transformed_video, np.float32)[:Tp]
+                if o.transfer_format == "yuv420":
+                    # lossy delivery path: quantize the upload to uint8 too
+                    # (visually lossless; the bit-exact "rgb" path ships f32)
+                    frames = np.clip(np.rint(frames * 255.0), 0,
+                                     255).astype(np.uint8)
+                emo_frames = jnp.asarray(frames)
         else:
             emo_frames = jnp.zeros((1, 256, 256, 3), jnp.float32)
 
         src = jnp.asarray(source_image, jnp.float32)[None]
         return T, (src, jnp.asarray(wav_p), jnp.asarray(pose_p),
-                   emo_frames)
+                   emo_frames), emo_kw
 
     def _render_staged(self, source_image, waveform, all_pose,
                        transformed_video=None, add_emo=None) -> np.ndarray:
@@ -966,7 +1075,12 @@ class EammPipeline:
         if add_emo:
             if transformed_video is None:
                 raise ValueError("add_emo requires transformed_video frames")
-            frames = np.asarray(transformed_video, np.float32)
+            if isinstance(transformed_video, EmotionHandle):
+                frames = np.asarray(transformed_video.frames)
+                if frames.dtype == np.uint8:
+                    frames = frames.astype(np.float32) / 255.0
+            else:
+                frames = np.asarray(transformed_video, np.float32)
             if len(frames) < T:   # np.resize-style cycling (ref:demo.py:499-500)
                 frames = np.resize(frames, (T,) + frames.shape[1:])
             frames = frames[:T]

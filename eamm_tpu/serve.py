@@ -32,6 +32,18 @@ from concurrent.futures import Future
 import numpy as np
 
 
+def _as_emotion_arg(transformed_video):
+    """Emotion payload for a request: a prepared ``EmotionHandle`` passes
+    through untouched (device-cached frames / trunk features — the
+    zero-upload serving path), raw frames are copied to float32."""
+    if transformed_video is None:
+        return None
+    from eamm_tpu.infer.pipeline import EmotionHandle
+    if isinstance(transformed_video, EmotionHandle):
+        return transformed_video
+    return np.asarray(transformed_video, np.float32)
+
+
 @dataclasses.dataclass
 class _Request:
     source: np.ndarray
@@ -40,7 +52,7 @@ class _Request:
     frames: int                 # true clip length for trimming
     future: Future
     t_enqueue: float
-    transformed: np.ndarray | None = None   # emotion frames (add_emo)
+    transformed: object | None = None  # emotion frames or EmotionHandle
     stream_q: queue.Queue | None = None     # segment queue (submit_stream)
 
     @property
@@ -107,8 +119,7 @@ class RenderServer:
                        np.asarray(waveform, np.float32),
                        np.asarray(pose, np.float32),
                        frames, Future(), time.monotonic(),
-                       None if transformed_video is None
-                       else np.asarray(transformed_video, np.float32))
+                       _as_emotion_arg(transformed_video))
         with self._lock:
             self._stats["requests"] += 1
         self._q.put(req)
@@ -119,6 +130,14 @@ class RenderServer:
         """Blocking convenience wrapper around ``submit``."""
         return self.submit(source_image, waveform, pose,
                            transformed_video).result(timeout)
+
+    def prepare_emotion(self, transformed_video):
+        """Upload an emotion clip once (and precompute its trunk features)
+        for reuse across requests — pass the returned handle as
+        ``transformed_video`` in later ``submit``/``submit_stream`` calls.
+        The per-request emotion-frame upload (~192 KiB/frame through the
+        host link) and the 256^2 trunk drop out of the hot path."""
+        return self.pipeline.prepare_emotion(transformed_video)
 
     def submit_stream(self, source_image, waveform, pose,
                       transformed_video=None):
@@ -136,8 +155,7 @@ class RenderServer:
                        np.asarray(waveform, np.float32),
                        np.asarray(pose, np.float32),
                        frames, Future(), time.monotonic(),
-                       None if transformed_video is None
-                       else np.asarray(transformed_video, np.float32),
+                       _as_emotion_arg(transformed_video),
                        stream_q=queue.Queue())
         with self._lock:
             self._stats["requests"] += 1

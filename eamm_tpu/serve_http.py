@@ -11,8 +11,15 @@ Endpoints
 - ``POST /render``: request body is an ``.npz`` with arrays ``source``
   ([256,256,3] float32 in [0,1]), ``waveform`` ([N] float32 @16 kHz),
   ``pose`` ([M,7]) and optionally ``transformed`` (emotion frames →
-  emotional path).  Response is an ``.npz``: ``frames`` (uint8 RGB), or
+  emotional path) or ``emotion_id`` (a clip registered via
+  ``PUT /emotion``).  Response is an ``.npz``: ``frames`` (uint8 RGB), or
   ``y``/``u``/``v`` planes when the pipeline delivers yuv420.
+- ``PUT /emotion``: register an emotion clip once — body ``.npz`` with
+  ``emotion_id`` (string) + ``transformed`` frames.  The server uploads
+  the clip to the device and precomputes its trunk features
+  (``EammPipeline.prepare_emotion``); later renders that name the id
+  skip both the ~60 MB request payload and the per-request
+  host->device emotion upload.  Response: JSON ``{"frames": U}``.
 - ``POST /render_stream``: same request; chunked response of
   length-prefixed npz segments (``<8-byte big-endian length><npz>``
   each with ``start`` plus the payload arrays), delivered while the
@@ -36,15 +43,24 @@ import numpy as np
 
 # ------------------------------------------------------------ wire format
 
-def encode_request(source, waveform, pose, transformed=None) -> bytes:
+def encode_request(source, waveform, pose, transformed=None,
+                   emotion_id=None) -> bytes:
     buf = io.BytesIO()
     arrays = {"source": np.asarray(source, np.float32),
               "waveform": np.asarray(waveform, np.float32),
               "pose": np.asarray(pose, np.float32)}
     if transformed is not None:
         arrays["transformed"] = np.asarray(transformed, np.float32)
+    if emotion_id is not None:
+        arrays["emotion_id"] = np.asarray(str(emotion_id))
     np.savez(buf, **arrays)
     return buf.getvalue()
+
+
+def encode_emotion_registration(emotion_id, transformed) -> bytes:
+    """Body for ``PUT /emotion``: name + emotion frames."""
+    return _encode_arrays(emotion_id=np.asarray(str(emotion_id)),
+                          transformed=np.asarray(transformed, np.float32))
 
 
 def _encode_arrays(**arrays) -> bytes:
@@ -125,9 +141,33 @@ class HttpRenderFront:
                 n = int(self.headers.get("Content-Length", "0"))
                 body = self.rfile.read(n)
                 with np.load(io.BytesIO(body)) as z:
-                    return (z["source"], z["waveform"], z["pose"],
-                            z["transformed"] if "transformed" in z.files
-                            else None)
+                    transformed = (z["transformed"]
+                                   if "transformed" in z.files else None)
+                    if transformed is None and "emotion_id" in z.files:
+                        eid = str(z["emotion_id"])
+                        transformed = front._emotions.get(eid)
+                        if transformed is None:
+                            raise KeyError(
+                                f"unknown emotion_id {eid!r} (register it "
+                                f"via PUT /emotion first)")
+                    return z["source"], z["waveform"], z["pose"], transformed
+
+            def do_PUT(self):
+                if self.path != "/emotion":
+                    self._send(404, b"not found", "text/plain")
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    with np.load(io.BytesIO(self.rfile.read(n))) as z:
+                        eid = str(z["emotion_id"])
+                        frames = z["transformed"]
+                    handle = front.server.prepare_emotion(frames)
+                    front._register_emotion(eid, handle)
+                    self._send(200, json.dumps(
+                        {"frames": int(handle.n_frames)}).encode(),
+                        "application/json")
+                except Exception as e:
+                    self._send(400, f"bad request: {e}".encode(), "text/plain")
 
             def do_POST(self):
                 try:
@@ -176,11 +216,23 @@ class HttpRenderFront:
                 self.wfile.flush()
 
         self.server = server
+        # registered emotion clips: id -> EmotionHandle, LRU-bounded (each
+        # holds device memory: U frames + a [Ub, 512] feature table)
+        self._emotions: dict = {}
+        self._emotions_lock = threading.Lock()
+        self._emotions_max = 16
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._httpd.server_address[:2]
         self._thread = threading.Thread(target=self._httpd.serve_forever,
                                         daemon=True)
         self._thread.start()
+
+    def _register_emotion(self, eid: str, handle):
+        with self._emotions_lock:
+            self._emotions.pop(eid, None)
+            while len(self._emotions) >= self._emotions_max:
+                self._emotions.pop(next(iter(self._emotions)))
+            self._emotions[eid] = handle
 
     @property
     def url(self) -> str:

@@ -128,10 +128,10 @@ def test_uint8_emotion_upload(pipeline):
         options=PipelineOptions(frame_chunk=8, time_bucket=32,
                                 transfer_format="yuv420"))
     # upload dtype switches with the transfer format
-    _, args = yuv_pipe._prepare_full_render_args(
+    _, args, _ = yuv_pipe._prepare_full_render_args(
         src, wav, pose, emo_frames, add_emo=True)
     assert args[3].dtype == np.uint8
-    _, args_rgb = pipeline._prepare_full_render_args(
+    _, args_rgb, _ = pipeline._prepare_full_render_args(
         src, wav, pose, emo_frames, add_emo=True)
     assert args_rgb[3].dtype == np.float32
 
@@ -195,6 +195,37 @@ def test_bf16_emotional_render_quality(pipeline):
     d = np.abs(rgb_f32.astype(np.float32) - rgb_bf16.astype(np.float32))
     assert d.mean() < 0.75          # in uint8 counts
     assert np.percentile(d, 99) <= 3.0
+
+
+def test_emotion_handle_matches_frames(pipeline):
+    """prepare_emotion: a device-cached handle (precomputed [U,512] trunk
+    features, zero per-call upload) renders the same frames as passing the
+    raw emotion clip — only the trunk moves to prepare time, the math is
+    unchanged (fusion-boundary wobble -> +/-1 uint8 count)."""
+    src, wav, pose, emo_frames = _inputs(seed=11)
+    ref = pipeline.render_uint8(src, wav, pose,
+                                transformed_video=emo_frames, add_emo=True)
+
+    handle = pipeline.prepare_emotion(emo_frames)
+    assert handle.feats is not None          # linear head -> feature table
+    assert handle.feats.shape[1] == 512
+    assert handle.feats.shape[0] % 32 == 0   # bucketed rows
+    assert handle.n_frames == emo_frames.shape[0]
+
+    # the fused program consumes the feature table, not pixels
+    _, args, emo_kw = pipeline._prepare_full_render_args(
+        src, wav, pose, handle, add_emo=True)
+    assert args[3] is handle.feats
+    assert emo_kw["emo_from_feats"] is True
+
+    out = pipeline.render_uint8(src, wav, pose,
+                                transformed_video=handle, add_emo=True)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+    # second render with the same handle reuses the same device buffers
+    out2 = pipeline.render_uint8(src, wav, pose,
+                                 transformed_video=handle, add_emo=True)
+    np.testing.assert_array_equal(out, out2)
 
 
 def test_overlap_matches_single_dispatch(pipeline):

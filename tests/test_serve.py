@@ -139,6 +139,69 @@ def test_emotional_requests_interleave_with_neutral(pipeline):
         server.stop()
 
 
+def test_emotion_handle_requests(pipeline):
+    """A prepared EmotionHandle passed as transformed_video renders the
+    same frames as raw emotion arrays — the zero-upload serving path."""
+    rng = np.random.RandomState(70)
+    emo_frames = rng.rand(4, 256, 256, 3).astype(np.float32)
+    server = RenderServer(pipeline, max_batch=2, max_delay_ms=50)
+    try:
+        req = _req(71)
+        raw = server.render(*req, transformed_video=emo_frames, timeout=900)
+        handle = server.prepare_emotion(emo_frames)
+        cached = server.render(*req, transformed_video=handle, timeout=900)
+        assert np.abs(cached.astype(int) - raw.astype(int)).max() <= 1
+    finally:
+        server.stop()
+
+
+def test_http_emotion_registry(pipeline):
+    """PUT /emotion registers a clip once; renders naming its emotion_id
+    skip the frames payload and match the raw-frames render."""
+    import urllib.request
+    from eamm_tpu.serve_http import (HttpRenderFront, encode_request,
+                                     encode_emotion_registration,
+                                     decode_response)
+    rng = np.random.RandomState(80)
+    emo_frames = rng.rand(4, 256, 256, 3).astype(np.float32)
+    server = RenderServer(pipeline, max_batch=2, max_delay_ms=20)
+    front = HttpRenderFront(server)
+    try:
+        req = _req(81)
+        raw_body = encode_request(*req, transformed=emo_frames)
+        r = urllib.request.urlopen(urllib.request.Request(
+            front.url + "/render", data=raw_body, method="POST"), timeout=900)
+        raw = decode_response(r.read())["frames"]
+
+        reg = urllib.request.urlopen(urllib.request.Request(
+            front.url + "/emotion",
+            data=encode_emotion_registration("style-a", emo_frames),
+            method="PUT"), timeout=900)
+        import json as _json
+        assert _json.loads(reg.read())["frames"] == 4
+
+        id_body = encode_request(*req, emotion_id="style-a")
+        # frames payload dropped: the id body is the raw body minus ~all of
+        # the emotion-frame bytes (source/waveform/pose still ship)
+        assert len(id_body) < len(raw_body) - 0.9 * emo_frames.nbytes
+        r2 = urllib.request.urlopen(urllib.request.Request(
+            front.url + "/render", data=id_body, method="POST"), timeout=900)
+        cached = decode_response(r2.read())["frames"]
+        assert np.abs(cached.astype(int) - raw.astype(int)).max() <= 1
+
+        # unknown id -> 400 with a helpful message
+        bad = encode_request(*req, emotion_id="nope")
+        try:
+            urllib.request.urlopen(urllib.request.Request(
+                front.url + "/render", data=bad, method="POST"), timeout=900)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and b"unknown emotion_id" in e.read()
+    finally:
+        front.close()
+        server.stop()
+
+
 def test_streaming_request(pipeline):
     """submit_stream delivers ordered segments equal to the non-streamed
     render; neutral batched requests keep working alongside."""
