@@ -9,16 +9,38 @@ sharded batch with ``jax.make_array_from_process_local_data`` (the
 part1 training step over the global 8-device mesh — the multi-host DP
 wiring of ``train/loop.py:104-107`` exercised end to end.
 
-Invoked: python multihost_worker.py <process_id> <num_processes> <port>
+Invoked: python multihost_worker.py <process_id> <num_processes> <port> <barrier_dir>
 Prints one line: MULTIHOST_OK loss=<float> batch=<sha1 of local batch>
 """
 import hashlib
 import os
 import sys
+import time
+
+
+def _file_barrier(barrier_dir: str, name: str, idx: int, n: int,
+                  timeout: float = 1200.0) -> None:
+    """Rendezvous the n worker processes via marker files.
+
+    Needed because Gloo's context init has a hard ~30 s deadline at the
+    FIRST collective execution, while the preceding jit compile takes
+    minutes per process on this single-core host (and the two processes
+    contend for it, skewing completion by the full compile time). The
+    barrier lines the processes up after the compile so the collective
+    init window is milliseconds wide.
+    """
+    open(os.path.join(barrier_dir, f"{name}.{idx}"), "w").close()
+    deadline = time.time() + timeout
+    while any(not os.path.exists(os.path.join(barrier_dir, f"{name}.{j}"))
+              for j in range(n)):
+        if time.time() > deadline:
+            raise TimeoutError(f"barrier {name}: peers missing")
+        time.sleep(0.2)
 
 
 def main():
     idx, n, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    barrier_dir = sys.argv[4]
     # replace (not append) any inherited device-count flag: each process
     # owns exactly 4 local devices, 4*n global
     flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
@@ -111,7 +133,12 @@ def main():
                               lambda _: NamedSharding(mesh, P("data")),
                               local_batch)),
         )
-        state, metrics = step(state, batch)
+        # AOT-compile first, then rendezvous: execution (and with it the
+        # 30 s-deadline Gloo context init) must start near-simultaneously
+        # on both processes — see _file_barrier.
+        compiled = step.lower(state, batch).compile()
+        _file_barrier(barrier_dir, "compiled", idx, n)
+        state, metrics = compiled(state, batch)
         # metrics are replicated; every process reads the same global loss
         total = float(metrics["total"])
     print(f"MULTIHOST_OK loss={total:.6f} batch={digest}", flush=True)

@@ -121,6 +121,7 @@ class TKPDetector(tnn.Module):
         return value, heat, jac
 
 
+@pytest.mark.smoke
 def test_kp_detector_parity():
     oracle = TKPDetector().eval()
     _randomize_bn_stats(oracle)

@@ -13,6 +13,8 @@ from eamm_tpu.data import (AudioDataset, MeadDataset, DatasetRepeater,
                            DataLoader, EMOTIONS)
 
 
+pytestmark = pytest.mark.smoke
+
 def _clip(t=3, h=256, w=256, seed=0):
     rng = np.random.RandomState(seed)
     return rng.rand(t, h, w, 3).astype(np.float32)

@@ -56,6 +56,19 @@ def test_neutral_render(pipeline):
     assert frames.min() >= 0.0 and frames.max() <= 1.0
 
 
+@pytest.mark.smoke
+def test_neutral_render_smoke(tiny_pipeline):
+    """Smoke-tier twin of test_neutral_render on the narrow-width shared
+    pipeline (conftest.TINY_CONFIG): full waveform -> MFCC -> audio kp ->
+    chunked render flow, ~8x cheaper cold compile."""
+    src, wav, pose, _ = _inputs()
+    frames = tiny_pipeline.render(src, wav, pose, add_emo=False)
+    assert frames.ndim == 4 and frames.shape[1:] == (256, 256, 3)
+    assert 20 <= frames.shape[0] <= 30          # ~25 fps for 1 s
+    assert np.all(np.isfinite(frames))
+    assert frames.min() >= 0.0 and frames.max() <= 1.0
+
+
 def test_emotional_render(pipeline):
     src, wav, pose, emo_frames = _inputs(seed=1)
     frames = pipeline.render(src, wav, pose, transformed_video=emo_frames,

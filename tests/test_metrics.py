@@ -6,6 +6,8 @@ from eamm_tpu.utils.metrics import (psnr, ssim, average_keypoint_distance,
                                     clip_metrics, _gaussian_window)
 
 
+pytestmark = pytest.mark.smoke
+
 def _np_ssim(pred, target, max_val=1.0, size=11, sigma=1.5):
     """Straight-line numpy SSIM (valid padding, separable Gaussian) as an
     independent oracle for the jax implementation."""

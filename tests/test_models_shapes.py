@@ -165,3 +165,41 @@ def test_emotion_map_shapes():
     out4, _ = model.apply(variables, x, kp["value"], kp["jacobian"], head="map_4")
     assert out4["value"].shape == (2, 4, 2)
     assert fake.shape == (2, 8)
+
+
+@pytest.mark.smoke
+def test_model_family_smoke():
+    """One narrow forward through each core model family at 128^2 (cheap
+    cold compile): import/init/wiring regressions surface here; the
+    full-size contract shapes (58x58 heatmaps at 256^2, SURVEY §2.1) are
+    asserted by the unmarked tests above."""
+    x = jnp.zeros((1, 128, 128, 3))
+    kp_model = KPDetector(num_kp=10, block_expansion=8, max_features=32,
+                          num_blocks=3, temperature=0.1,
+                          estimate_jacobian=True, scale_factor=0.25)
+    out = kp_model.apply(kp_model.init(KEY, x), x)
+    assert out["value"].shape == (1, 10, 2)
+    assert out["jacobian"].shape == (1, 10, 2, 2)
+
+    gen = OcclusionAwareGenerator(
+        num_channels=3, num_kp=10, block_expansion=8, max_features=32,
+        num_down_blocks=2, num_bottleneck_blocks=1,
+        estimate_occlusion_map=True,
+        dense_motion_params=dict(block_expansion=8, max_features=32,
+                                 num_blocks=3, scale_factor=0.25))
+    kp_d, kp_s = _kp(1, 10, 2), _kp(1, 10, 3)
+    gout = gen.apply(gen.init(KEY, x, kp_d, kp_s), x, kp_d, kp_s)
+    assert gout["prediction"].shape == (1, 128, 128, 3)
+
+    emo = EmotionK(block_expansion=8, max_features=32, num_blocks=3)
+    evars = emo.init(KEY, x, kp_d["value"], kp_d["jacobian"], head="linear_4")
+    eout, fake = emo.apply(evars, x, kp_d["value"], kp_d["jacobian"],
+                           head="linear_4")
+    assert eout["value"].shape == (1, 4, 2)
+    assert fake.shape == (1, 8)
+
+    disc = MultiScaleDiscriminator(scales=(1,), block_expansion=8,
+                                   max_features=32, num_blocks=3, sn=True)
+    pyr = {"prediction_1": jax.random.uniform(KEY, (1, 128, 128, 3))}
+    dout = disc.apply(disc.init(KEY, pyr), pyr)
+    assert dout["prediction_map_1"].shape[0] == 1

@@ -21,20 +21,20 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_dp_part1_step():
+def test_two_process_dp_part1_step(tmp_path):
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "multihost_worker.py")
     port = str(_free_port())
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)     # worker pins cpu itself
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(i), "2", port],
+        [sys.executable, worker, str(i), "2", port, str(tmp_path)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
         for i in range(2)]
     outs = []
     try:
         for p in procs:
-            out, err = p.communicate(timeout=900)
+            out, err = p.communicate(timeout=1800)
             assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
             outs.append(out)
     finally:

@@ -5,6 +5,8 @@ import pytest
 from eamm_tpu.data import native
 
 
+pytestmark = pytest.mark.smoke
+
 @pytest.fixture(scope="module")
 def pngs(tmp_path_factory):
     import imageio.v2 as imageio

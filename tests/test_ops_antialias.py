@@ -10,6 +10,8 @@ import jax.numpy as jnp
 from eamm_tpu.ops import antialias_downsample
 
 
+pytestmark = pytest.mark.smoke
+
 def torch_antialias(x, scale, sigma=1.5):
     ksize = 2 * round(sigma * 4) + 1
     ka = ksize // 2

@@ -7,6 +7,7 @@ from eamm_tpu.data.augmentation import ColorJitter, AllAugmentationTransform
 from eamm_tpu.ops.augment import color_jitter, decode_and_augment
 
 
+@pytest.mark.smoke
 def test_color_jitter_matches_host():
     rng = np.random.RandomState(0)
     clip = rng.rand(3, 32, 32, 3).astype(np.float32)

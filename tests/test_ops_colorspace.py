@@ -8,7 +8,10 @@ import numpy as np
 import jax.numpy as jnp
 
 from eamm_tpu.ops.colorspace import rgb_to_yuv420, yuv420_to_rgb
+import pytest
 
+
+pytestmark = pytest.mark.smoke
 
 def test_primary_colors_golden():
     # BT.601 full-range: white -> Y=255,U=V=128; black -> Y=0,U=V=128.

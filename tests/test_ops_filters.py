@@ -5,7 +5,10 @@ import numpy as np
 import jax.numpy as jnp
 
 from eamm_tpu.ops import one_euro_filter, one_euro_filter_np
+import pytest
 
+
+pytestmark = pytest.mark.smoke
 
 class _NpLowPass:
     def __init__(self):

@@ -12,6 +12,8 @@ from eamm_tpu.ops import (make_coordinate_grid, kp2gaussian, gaussian2kp,
                           heatmap_softmax)
 
 
+pytestmark = pytest.mark.smoke
+
 def torch_coordinate_grid(h, w):
     x = torch.arange(w).float()
     y = torch.arange(h).float()

@@ -8,7 +8,10 @@ import jax.numpy as jnp
 
 from eamm_tpu.ops import mfcc, mfcc_windows, audio_to_mfcc_windows
 from eamm_tpu.ops.mfcc import num_mfcc_frames, num_windows
+import pytest
 
+
+pytestmark = pytest.mark.smoke
 
 def np_mfcc(signal, samplerate=16000):
     winlen, winstep = 0.025, 0.01

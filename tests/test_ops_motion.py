@@ -7,7 +7,10 @@ import jax.numpy as jnp
 
 from eamm_tpu.ops import sparse_motions, normalize_kp
 from tests.test_ops_grid import torch_coordinate_grid
+import pytest
 
+
+pytestmark = pytest.mark.smoke
 
 def _rand_kp(b, k, seed):
     rng = np.random.RandomState(seed)

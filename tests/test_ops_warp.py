@@ -41,6 +41,7 @@ def test_grid_sample_matches_torch(padding_mode, align_corners):
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+@pytest.mark.smoke
 def test_grid_sample_default_is_reference_default():
     """The reference calls F.grid_sample with no flags (torch>=1.3 =>
     align_corners=False, zeros padding); our default must match."""
@@ -52,6 +53,7 @@ def test_grid_sample_default_is_reference_default():
     np.testing.assert_allclose(ours, ref.permute(0, 2, 3, 1).numpy(), atol=1e-5)
 
 
+@pytest.mark.smoke
 def test_resize_bilinear_matches_torch():
     img = _rand_image(2, 64, 64, 2, seed=5)
     ours = np.asarray(resize_bilinear(jnp.asarray(img), (256, 256)))

@@ -32,7 +32,7 @@ def mead_root(tmp_path_factory):
     return str(root)
 
 
-def test_part2_loop(mead_root, tmp_path):
+def test_part2_loop(mead_root, tmp_path, one_dev_mesh):
     cfg = json.loads(json.dumps(SMALL_CONFIG))
     cfg["dataset_params"].update({
         "name": "MEAD", "root_dir": mead_root,
@@ -47,7 +47,8 @@ def test_part2_loop(mead_root, tmp_path):
                                     **cfg["train_params"]["loss_weights"],
                                     "emo": 10}})
     log_dir = str(tmp_path / "log")
-    state = train(cfg, "train_part2", log_dir, max_steps=1)
+    state = train(cfg, "train_part2", log_dir, max_steps=1,
+                  mesh=one_dev_mesh)
     assert int(state.step) == 1
     assert "emo_detector" in state.trainable
     scalars_path = os.path.join(log_dir, "scalars.jsonl")
@@ -55,7 +56,7 @@ def test_part2_loop(mead_root, tmp_path):
     assert "loss_classify" in text and "loss_smooth" in text
 
 
-def test_part2_loop_device_augmentation(mead_root, tmp_path):
+def test_part2_loop_device_augmentation(mead_root, tmp_path, one_dev_mesh):
     """Full MEAD pipeline with transformed_driving built on device."""
     cfg = json.loads(json.dumps(SMALL_CONFIG))
     cfg["dataset_params"].update({
@@ -75,7 +76,8 @@ def test_part2_loop_device_augmentation(mead_root, tmp_path):
                                     **cfg["train_params"]["loss_weights"],
                                     "emo": 10}})
     log_dir = str(tmp_path / "log")
-    state = train(cfg, "train_part2", log_dir, max_steps=1)
+    state = train(cfg, "train_part2", log_dir, max_steps=1,
+                  mesh=one_dev_mesh)
     assert int(state.step) == 1
     text = open(os.path.join(log_dir, "scalars.jsonl")).read()
     assert "loss_classify" in text

@@ -24,6 +24,8 @@ from tests.test_compat_aux import (TCtEncoder, TEmotionNet, TAF2F, TA2I,
                                    TNANet, TAudioFeature)
 
 
+pytestmark = pytest.mark.smoke
+
 class _Recorder(dict):
     """Pass-through state dict recording every __getitem__ read (not
     __contains__ probes — those are the converters' optionality checks)."""

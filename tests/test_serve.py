@@ -24,6 +24,25 @@ def _req(seed, seconds=1.0):
             rng.randn(1, 7).astype(np.float32))
 
 
+@pytest.mark.smoke
+def test_coalescing_smoke(tiny_pipeline):
+    """Smoke-tier twin of test_concurrent_requests_are_coalesced on the
+    narrow-width shared pipeline (conftest.TINY_CONFIG)."""
+    server = RenderServer(tiny_pipeline, max_batch=2, max_delay_ms=300)
+    try:
+        futures = [server.submit(*_req(i)) for i in range(2)]
+        results = [f.result(timeout=600) for f in futures]
+        for r in results:
+            assert r.shape[1:] == (256, 256, 3)
+            assert 20 <= r.shape[0] <= 30
+        s = server.stats()
+        assert s["requests"] == 2
+        assert s["dispatches"] == 1        # both rode one device dispatch
+        assert s["mean_batch_occupancy"] == 2.0
+    finally:
+        server.stop()
+
+
 def test_concurrent_requests_are_coalesced(pipeline):
     server = RenderServer(pipeline, max_batch=3, max_delay_ms=300)
     try:

@@ -54,6 +54,35 @@ TRAIN_PARAMS = {
 }
 
 
+@pytest.mark.smoke
+def test_part1_step_smoke():
+    """Smoke-tier part1 step: narrow widths, 3 optimizer steps, finite
+    losses + step accounting (the learning trend and sharded equivalence
+    live in the full tier below)."""
+    models = {
+        "kp_detector": KPDetector(num_kp=10, block_expansion=8,
+                                  max_features=32, num_blocks=3),
+        "kp_detector_a": KPDetectorA(num_kp=10),
+        "audio_feature": ATNet(),
+        "generator": OcclusionAwareGenerator(
+            num_down_blocks=2, num_bottleneck_blocks=1, max_features=32,
+            block_expansion=8,
+            dense_motion_params=dict(block_expansion=8, max_features=32,
+                                     num_blocks=3, scale_factor=0.25)),
+        "emo_detector": EmotionK(block_expansion=8, max_features=32,
+                                 num_blocks=3),
+    }
+    opt = make_optimizer(lr=1e-3)
+    batch = jax.tree.map(jnp.asarray, part1_batch())
+    state = init_part1_state(jax.random.PRNGKey(0), models, batch, opt)
+    step = jax.jit(make_part1_step(models, TRAIN_PARAMS, opt))
+    for _ in range(3):
+        state, m = step(state, batch)
+    assert np.isfinite(float(m["total"]))
+    assert np.isfinite(float(m["loss_value"]))
+    assert int(state.step) == 3
+
+
 def test_part1_step_runs_and_learns():
     models = small_models()
     opt = make_optimizer(lr=1e-3)
