@@ -367,13 +367,17 @@ class EammPipeline:
         if add_emo:
             Tp = kp_audio["value"].shape[0]
             if frame_index is None:
-                U = transformed_frames.shape[0]
                 if emo_from_feats:
-                    frame_index = jnp.arange(Tp) % U
-                else:
-                    frame_index = jnp.arange(Tp) % U if U < Tp else None
-                    if frame_index is None:
-                        transformed_frames = transformed_frames[:Tp]
+                    # the feature table's row count is the BUCKETED count;
+                    # deriving the cycle from it would gather all-zero
+                    # padding rows for timesteps past the true frame count
+                    raise ValueError(
+                        "emo_from_feats requires an explicit frame_index "
+                        "built from the true (unpadded) emotion frame count")
+                U = transformed_frames.shape[0]
+                frame_index = jnp.arange(Tp) % U if U < Tp else None
+                if frame_index is None:
+                    transformed_frames = transformed_frames[:Tp]
             emo = self._emotion_stage_impl(
                 variables, transformed_frames,
                 kp_audio["value"], kp_audio["jacobian"],
@@ -1031,8 +1035,13 @@ class EammPipeline:
                         "emo_from_feats": True,
                     }
                 else:
-                    # non-linear heads: device-cached frames (upload saved)
-                    emo_frames = h.frames
+                    # non-linear heads: device-cached frames (upload saved).
+                    # Truncate to Tp on device (a slice, no re-upload) so a
+                    # longer emotion clip does not change the program shape
+                    # — each distinct U > Tp would otherwise trigger a fresh
+                    # whole-clip compile (10-25 min through the tunnel).
+                    emo_frames = (h.frames[:Tp]
+                                  if h.frames.shape[0] > Tp else h.frames)
             else:
                 # keep only the unique frames; the fused program cycles them
                 # with modular indexing (== np.resize, ref:demo.py:499-500)

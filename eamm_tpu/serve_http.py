@@ -32,6 +32,7 @@ Client helpers ``encode_request`` / ``decode_response`` /
 """
 from __future__ import annotations
 
+import collections
 import io
 import json
 import struct
@@ -145,7 +146,11 @@ class HttpRenderFront:
                                    if "transformed" in z.files else None)
                     if transformed is None and "emotion_id" in z.files:
                         eid = str(z["emotion_id"])
-                        transformed = front._emotions.get(eid)
+                        with front._emotions_lock:
+                            transformed = front._emotions.get(eid)
+                            if transformed is not None:
+                                # refresh recency so eviction is true LRU
+                                front._emotions.move_to_end(eid)
                         if transformed is None:
                             raise KeyError(
                                 f"unknown emotion_id {eid!r} (register it "
@@ -218,7 +223,7 @@ class HttpRenderFront:
         self.server = server
         # registered emotion clips: id -> EmotionHandle, LRU-bounded (each
         # holds device memory: U frames + a [Ub, 512] feature table)
-        self._emotions: dict = {}
+        self._emotions: collections.OrderedDict = collections.OrderedDict()
         self._emotions_lock = threading.Lock()
         self._emotions_max = 16
         self._httpd = ThreadingHTTPServer((host, port), Handler)
@@ -231,7 +236,7 @@ class HttpRenderFront:
         with self._emotions_lock:
             self._emotions.pop(eid, None)
             while len(self._emotions) >= self._emotions_max:
-                self._emotions.pop(next(iter(self._emotions)))
+                self._emotions.popitem(last=False)
             self._emotions[eid] = handle
 
     @property
