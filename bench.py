@@ -354,6 +354,49 @@ def main():
         batch_times.append(time.time() - t0)
     batch_fps = out[0].shape[0] * out[0].shape[1] / min(batch_times)
 
+    # Chip-side batched capability (same dispatches, tiny readback instead
+    # of the bulk fetch): separates a real batching regression from the
+    # tunnel bound — the delivered batched number ships n_id x the d2h
+    # bytes, so it alone cannot tell the two apart.
+    def batched_compute_once(wavs_in):
+        _, bargs = pipe._prepare_batch_args(sources, wavs_in, poses)
+        kv, kj, kp_s, feats = pipe._batch_kp_stage(pipe.vars, *bargs)
+        S = max(1, pipe.options.overlap_segments)
+        Tseg = kv.shape[1] // S
+        seg = None
+        for i in range(S):
+            seg = pipe._batch_render_segment(pipe.vars, bargs[0], feats,
+                                             kp_s, kv, kj, jnp.int32(i),
+                                             Tseg)
+        # the device queue is in-order: a small slice readback of the LAST
+        # segment's output proves every earlier segment finished
+        np.asarray(seg[0][:1, :1, :2, :2])
+
+    batched_compute_once(wavs)                                # warm
+    bc_best = float("inf")
+    for i in range(3):
+        wavs2 = [w + np.float32(1e-5 * next(_pert)) for w in wavs]
+        t0 = time.time()
+        batched_compute_once(wavs2)
+        bc_best = min(bc_best, time.time() - t0)
+    batch_compute_fps = out[0].shape[0] * out[0].shape[1] / bc_best
+
+    # Tunnel bandwidth probe (fresh buffers each trial — the runtime
+    # memoizes identical transfers): the delivered-fps wall in MB/s.
+    probe_mb = 8
+    h2d_best = d2h_best = float("inf")
+    for i in range(3):
+        buf = rng.randint(0, 255, (probe_mb << 20,), dtype=np.uint8)
+        t0 = time.time()
+        dev = jnp.asarray(buf)
+        dev.block_until_ready()
+        h2d_best = min(h2d_best, time.time() - t0)
+        t0 = time.time()
+        np.asarray(dev)
+        d2h_best = min(d2h_best, time.time() - t0)
+    h2d_mbps = probe_mb / h2d_best
+    d2h_mbps = probe_mb / d2h_best
+
     ref_fps = reference_fps()
     print(json.dumps({
         "metric": "generated_frames_per_sec_per_chip_256px",
@@ -370,6 +413,9 @@ def main():
                    "rgb_uint8_frames_per_sec": round(rgb_fps, 2),
                    "batched_identities": n_id,
                    "batched_frames_per_sec": round(batch_fps, 2),
+                   "batched_compute_only_fps": round(batch_compute_fps, 2),
+                   "tunnel_h2d_mb_per_s": round(h2d_mbps, 1),
+                   "tunnel_d2h_mb_per_s": round(d2h_mbps, 1),
                    **({"emotional_frames_per_sec": round(emo_fps, 2),
                        "emotional_cold_frames_per_sec": round(emo_cold_fps, 2),
                        "emotional_vs_neutral_same_phase":

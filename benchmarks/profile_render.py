@@ -44,7 +44,11 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    cache = os.path.expanduser("~/.cache/eamm_jax_cache")
+    # share the repo's persistent compile cache with bench.py/conftest
+    cache = os.environ.get(
+        "EAMM_TEST_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"))
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -64,7 +64,7 @@ def warp_to_template(image: np.ndarray, tform: np.ndarray,
                             "constant").astype(np.float32)
 
 
-def detect_landmarks(image_uint8: np.ndarray) -> np.ndarray | None:
+def _detect_landmarks_dlib(image_uint8: np.ndarray) -> np.ndarray | None:
     """68-point landmarks via dlib when available, else None."""
     try:
         import dlib
@@ -83,6 +83,25 @@ def detect_landmarks(image_uint8: np.ndarray) -> np.ndarray | None:
         return None
     shape = predictor(gray, rects[0])
     return np.array([[shape.part(i).x, shape.part(i).y] for i in range(68)])
+
+
+def detect_landmarks(image_uint8: np.ndarray,
+                     allow_coarse: bool = True) -> np.ndarray | None:
+    """68-point landmarks: dlib when importable (the reference's detector,
+    ref:process_data.py:21-22), otherwise the self-contained coarse
+    skin-blob aligner (eamm_tpu.data.landmarks — framing-level accuracy,
+    enough for the similarity-warp crop), otherwise a centered-portrait
+    prior.  ``allow_coarse=False`` restores dlib-or-None."""
+    lm = _detect_landmarks_dlib(image_uint8)
+    if lm is not None or not allow_coarse:
+        return lm
+    from eamm_tpu.data.landmarks import (estimate_landmarks_coarse,
+                                         center_prior_landmarks)
+    template = load_template()
+    lm = estimate_landmarks_coarse(np.asarray(image_uint8), template)
+    if lm is None:
+        lm = center_prior_landmarks(np.asarray(image_uint8).shape, template)
+    return lm
 
 
 def load_template(path: str | None = None) -> np.ndarray:
