@@ -337,6 +337,38 @@ def main():
         ratios = sorted(n / e for n, e in zip(rounds["n"], rounds["eh"]))
         emo_vs_neutral = ratios[len(ratios) // 2]
 
+    # Long-clip unbounded streaming (segment_frames chunk programs with the
+    # recurrent state threaded between dispatches): a 60 s clip through
+    # render_stream.  The SAME two compiled chunk programs serve any clip
+    # length (the whole-clip paths compile per time bucket; the reference
+    # renders frame-at-a-time into a whole-clip buffer, ref:demo.py:212-281),
+    # host memory stays O(chunk), and throughput should hold within ~10% of
+    # the 10 s number.  Gated with the emotional block: two extra (small)
+    # programs to compile when cold.
+    stream60_fps = stream60_vs_10s = None
+    if os.environ.get("EAMM_BENCH_FULL", full_default) == "1":
+        spipe = EammPipeline(
+            pipe.config, pipe.vars,
+            options=PipelineOptions(frame_chunk=32, time_bucket=32,
+                                    add_emo=False, transfer_format="yuv420",
+                                    fetch_streams=8, segment_frames=128,
+                                    compute_dtype=jnp.bfloat16))
+        wav60 = (0.1 * rng.randn(16000 * 60)).astype(np.float32)
+        # warm the chunk programs on a short clip (same shapes by design)
+        for _ in spipe.render_stream(src, fresh_wav(), pose, add_emo=False):
+            pass
+        t0 = time.time()
+        n60 = sum(p[0].shape[0] for _, p in spipe.render_stream(
+            src, wav60 + np.float32(1e-5 * next(_pert)), pose,
+            add_emo=False))
+        dt60 = time.time() - t0
+        stream60_fps = n60 / dt60
+        # 10 s clip through the same chunk programs, same tunnel phase
+        t0 = time.time()
+        n10 = sum(p[0].shape[0] for _, p in spipe.render_stream(
+            src, fresh_wav(), pose, add_emo=False))
+        stream60_vs_10s = stream60_fps / (n10 / (time.time() - t0))
+
     # Batched clip inference (BASELINE config 3): 8 identities x 10 s,
     # best-of-3 with fresh inputs (same phase-noise discipline as the
     # single-clip number).
@@ -421,6 +453,10 @@ def main():
                        "emotional_vs_neutral_same_phase":
                            round(emo_vs_neutral, 3)}
                       if emo_fps else {}),
+                   **({"stream_60s_frames_per_sec": round(stream60_fps, 2),
+                       "stream_60s_vs_10s_same_programs":
+                           round(stream60_vs_10s, 3)}
+                      if stream60_fps else {}),
                    "torch_cpu_reference_fps": round(ref_fps, 2)},
     }))
 

@@ -106,6 +106,10 @@ def main():
         # --- full fused emotional program (compute only)
         T2, full_args_e, _ = pipe._prepare_full_render_args(
             src_np, wav, pose, emo_np, True)
+        # cold emotion frames now stay host-side in the prepared args (the
+        # overlapped path uploads them mid-pipeline); pin to device here so
+        # the timed loop measures compute only, not a per-call upload
+        full_args_e = tuple(jnp.asarray(a) for a in full_args_e)
         fr = pipe._full_render(pipe.vars, *full_args_e, add_emo=True)
         _block(fr)
         dtm = _best_of(lambda: _block(pipe._full_render(

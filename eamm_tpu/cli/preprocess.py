@@ -12,6 +12,10 @@
 
     # 3DDFA param vectors -> [N, 7] pose file
     python -m eamm_tpu.cli.preprocess pose --params params.npy --out pose.npy
+
+    # no params artifact: pose straight from the clip's frames
+    # (per-frame landmarks -> weak-perspective camera fit)
+    python -m eamm_tpu.cli.preprocess pose --frames clip.npy --out pose.npy
 """
 from __future__ import annotations
 
@@ -43,9 +47,15 @@ def build_parser() -> ArgumentParser:
     mfcc.add_argument("--out-dir", required=True)
     mfcc.add_argument("--name", required=True)
 
-    pose = sub.add_parser("pose", help="3DDFA params -> 7-vector pose npy")
-    pose.add_argument("--params", required=True,
+    pose = sub.add_parser(
+        "pose", help="7-vector pose npy from 3DDFA params OR from a clip's "
+                     "frames (landmark weak-perspective fit)")
+    pose.add_argument("--params", default=None,
                       help="[N,>=12] npy of 3DMM camera params")
+    pose.add_argument("--frames", default=None,
+                      help="[T,H,W,3] npy of frames (uint8 or float) — "
+                           "pose via per-frame landmarks when no params "
+                           "artifact exists")
     pose.add_argument("--out", required=True)
 
     pack = sub.add_parser(
@@ -91,9 +101,15 @@ def main(argv=None):
         return out
 
     if opt.cmd == "pose":
-        from eamm_tpu.data.pose import pose_from_param
-        params = np.load(opt.params)
-        poses = np.stack([pose_from_param(p) for p in params])
+        if (opt.params is None) == (opt.frames is None):
+            raise SystemExit("pose: pass exactly one of --params / --frames")
+        if opt.params is not None:
+            from eamm_tpu.data.pose import pose_from_param
+            params = np.load(opt.params)
+            poses = np.stack([pose_from_param(p) for p in params])
+        else:
+            frames = np.load(opt.frames)
+            poses = P.estimate_pose_clip(frames)
         np.save(opt.out, poses)
         print(f"{poses.shape} -> {opt.out}")
         return opt.out

@@ -163,6 +163,31 @@ def align_clip(frames: np.ndarray, landmarks0: np.ndarray | None = None,
     return np.array(out)
 
 
+def estimate_pose_clip(frames: np.ndarray,
+                       per_frame_landmarks=None) -> np.ndarray:
+    """Per-frame head pose [T, 7] from a clip — the in-environment stand-in
+    for the reference's 3DDFA pose extraction (ref:3DDFA_V2/demo.py:29-100):
+    68-point landmarks per frame (dlib when importable, else the coarse
+    fallback) -> weak-perspective camera fit -> the same
+    [yaw, pitch, roll, s, t3d] decomposition 3DDFA params go through
+    (eamm_tpu.data.pose.pose_from_landmarks).  frames: [T, H, W, 3] float
+    in [0, 1] or uint8."""
+    from eamm_tpu.data.pose import pose_from_landmarks
+
+    frames = np.asarray(frames)
+    template = load_template()
+    poses = []
+    for i, frame in enumerate(frames):
+        if per_frame_landmarks is not None:
+            lm = np.asarray(per_frame_landmarks[i])
+        else:
+            img = frame if frame.dtype == np.uint8 else \
+                (np.clip(frame, 0, 1) * 255).astype(np.uint8)
+            lm = detect_landmarks(img)
+        poses.append(pose_from_landmarks(lm, template))
+    return np.stack(poses)
+
+
 def load_audio(path: str, sr: int = 16000) -> np.ndarray:
     """Mono float waveform at ``sr``.  wav via scipy; anything else through
     ffmpeg (subprocess, as the reference does — ref:process_data.py:124-127)."""

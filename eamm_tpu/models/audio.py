@@ -31,8 +31,15 @@ class LSTM(nn.Module):
     num_layers: int
 
     @nn.compact
-    def __call__(self, xs: jnp.ndarray) -> jnp.ndarray:
-        """xs: [B, T, F] -> outputs of the last layer [B, T, hidden]."""
+    def __call__(self, xs: jnp.ndarray, initial_carry=None,
+                 return_carry: bool = False):
+        """xs: [B, T, F] -> outputs of the last layer [B, T, hidden].
+
+        ``initial_carry`` (a :meth:`zero_carry`-shaped tuple, or the carry a
+        prior ``return_carry=True`` call returned) threads the recurrent
+        state across fixed-size chunks: chunked invocation with the carry
+        passed along computes EXACTLY the whole-sequence scan.
+        """
         B, T, F = xs.shape
         H = self.hidden
         bound = float(1.0 / (H ** 0.5))
@@ -61,11 +68,18 @@ class LSTM(nn.Module):
                 inp = h_new
             return tuple(new_carry), inp
 
-        init_carry = tuple((jnp.zeros((B, H), xs.dtype),
-                            jnp.zeros((B, H), xs.dtype))
-                           for _ in range(self.num_layers))
-        _, ys = jax.lax.scan(step, init_carry, jnp.swapaxes(xs, 0, 1))
-        return jnp.swapaxes(ys, 0, 1)
+        init_carry = initial_carry
+        if init_carry is None:
+            init_carry = self.zero_carry(B, xs.dtype)
+        final, ys = jax.lax.scan(step, init_carry, jnp.swapaxes(xs, 0, 1))
+        ys = jnp.swapaxes(ys, 0, 1)
+        return (ys, final) if return_carry else ys
+
+    def zero_carry(self, batch: int, dtype=jnp.float32):
+        """The zero initial state (torch LSTM default, ref:modules/util.py:271-272)."""
+        return tuple((jnp.zeros((batch, self.hidden), dtype),
+                      jnp.zeros((batch, self.hidden), dtype))
+                     for _ in range(self.num_layers))
 
 
 class ImageEncoder(nn.Module):
@@ -135,34 +149,67 @@ class ATNet(nn.Module):
     """
     jaco_net: str = "cnn"
 
-    @nn.compact
-    def __call__(self, example_image: jnp.ndarray, audio: jnp.ndarray,
-                 pose: jnp.ndarray, audio_weight: float = 1.0,
-                 train: bool = False) -> jnp.ndarray:
-        B, T = audio.shape[:2]
-        image_feature = ImageEncoder(name="image_encoder")(example_image, train)
+    def setup(self):
+        self.image_encoder = ImageEncoder()
+        self.audio_encoder = AudioEncoder()
+        self.pose_encoder = PoseEncoder()
+        self.lstm = LSTM(256, 3)
+        if self.jaco_net == "cnn":
+            self.decoder = FeatureDecoder()
+        elif self.jaco_net == "gan":
+            from eamm_tpu.models.stylegan2 import SynthesisGenerator
+            self.generator = SynthesisGenerator(size=64, style_dim=256,
+                                                n_mlp=8, out_channels=35)
+        else:
+            raise ValueError(
+                f"jaco_net must be 'cnn' or 'gan', got {self.jaco_net!r}")
 
+    def encode_image(self, example_image: jnp.ndarray,
+                     train: bool = False) -> jnp.ndarray:
+        """Identity feature [B, 512] — depends only on the source image, so
+        streaming callers run it once and reuse it for every chunk."""
+        return self.image_encoder(example_image, train)
+
+    def window_features(self, image_feature: jnp.ndarray, audio: jnp.ndarray,
+                        pose: jnp.ndarray, audio_weight: float = 1.0,
+                        train: bool = False, carry=None,
+                        return_carry: bool = False):
+        """Per-window feature maps from a precomputed identity feature.
+
+        audio [B, T, 28, 12] + pose [B, T, 6] -> deco [B, T, 64, 64, 35].
+        ``carry``/``return_carry`` thread the LSTM state so fixed-size
+        chunks compose EXACTLY into the whole-clip result (the encoders and
+        the decoder are per-window; only the LSTM is recurrent)."""
+        B, T = audio.shape[:2]
         audio_flat = audio.reshape(B * T, *audio.shape[2:])
-        audio_feature = AudioEncoder(name="audio_encoder")(audio_flat, train)
+        audio_feature = self.audio_encoder(audio_flat, train)
         audio_feature = audio_feature.reshape(B, T, -1) * audio_weight
 
-        pose_feature = PoseEncoder(name="pose_encoder")(
+        pose_feature = self.pose_encoder(
             pose.reshape(B * T, -1)).reshape(B, T, -1)
 
         img_rep = jnp.broadcast_to(image_feature[:, None],
                                    (B, T, image_feature.shape[-1]))
         lstm_in = jnp.concatenate([img_rep, audio_feature, pose_feature],
                                   axis=-1)                    # [B,T,1024]
-        lstm_out = LSTM(256, 3, name="lstm")(lstm_in)         # [B,T,256]
+        lstm_out = self.lstm(lstm_in, initial_carry=carry,
+                             return_carry=return_carry)       # [B,T,256]
+        if return_carry:
+            lstm_out, carry_out = lstm_out
 
         if self.jaco_net == "cnn":
-            deco = FeatureDecoder(name="decoder")(
-                lstm_out.reshape(B * T, -1), train)
-        elif self.jaco_net == "gan":
-            from eamm_tpu.models.stylegan2 import SynthesisGenerator
-            deco = SynthesisGenerator(size=64, style_dim=256, n_mlp=8,
-                                      out_channels=35, name="generator")(
-                lstm_out.reshape(B * T, -1))
+            deco = self.decoder(lstm_out.reshape(B * T, -1), train)
         else:
-            raise ValueError(f"jaco_net must be 'cnn' or 'gan', got {self.jaco_net!r}")
-        return deco.reshape(B, T, *deco.shape[1:])
+            deco = self.generator(lstm_out.reshape(B * T, -1))
+        deco = deco.reshape(B, T, *deco.shape[1:])
+        return (deco, carry_out) if return_carry else deco
+
+    def zero_carry(self, batch: int, dtype=jnp.float32):
+        return self.lstm.zero_carry(batch, dtype)
+
+    def __call__(self, example_image: jnp.ndarray, audio: jnp.ndarray,
+                 pose: jnp.ndarray, audio_weight: float = 1.0,
+                 train: bool = False) -> jnp.ndarray:
+        image_feature = self.encode_image(example_image, train)
+        return self.window_features(image_feature, audio, pose,
+                                    audio_weight, train)

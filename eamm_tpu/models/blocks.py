@@ -193,8 +193,32 @@ class DownBlock(nn.Module):
         return avg_pool_2x(x)
 
 
+class _ConvWeights(nn.Module):
+    """Parameter-only twin of a 3x3 ``conv`` child: declares the identical
+    kernel/bias (same names, shapes, initializers) so checkpoints and the
+    torch converters see the same tree while the parent module chooses the
+    computation form (literal vs folded subpixel)."""
+    features: int
+    kernel: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", _torch_kernel_init,
+                       (self.kernel, self.kernel, in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class UpBlock(nn.Module):
-    """nearest x2 -> conv -> BN -> ReLU (ref:modules/util.py:883-900)."""
+    """nearest x2 -> conv -> BN -> ReLU (ref:modules/util.py:883-900).
+
+    Eval-mode calls compute the upsample+conv in the folded subpixel form
+    (one 2x2 VALID conv at the input resolution with 4x the output
+    channels + phase interleave — exact up to tap-sum reassociation, 2.25x
+    fewer FLOPs, MXU-aligned output widths; see eamm_tpu/ops/subpixel.py).
+    Training keeps the literal form: BN batch statistics are defined on the
+    conv output at the doubled resolution.
+    """
     features: int
     kernel: int = 3
     padding: int = 1
@@ -202,9 +226,27 @@ class UpBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = upsample_nearest_2x(x)
-        x = conv(self.features, self.kernel, padding=self.padding,
-                 groups=self.groups, name="conv")(x)
+        foldable = (self.kernel == 3 and self.padding == 1
+                    and self.groups == 1)
+        if foldable:
+            k, b = _ConvWeights(self.features, self.kernel,
+                                name="conv")(x.shape[-1])
+            dt = jnp.promote_types(x.dtype, k.dtype)
+            x, k, b = x.astype(dt), k.astype(dt), b.astype(dt)
+            if train:
+                x = upsample_nearest_2x(x)
+                dn = jax.lax.conv_dimension_numbers(
+                    x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+                x = jax.lax.conv_general_dilated(
+                    x, k, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                    dimension_numbers=dn) + b
+            else:
+                from eamm_tpu.ops.subpixel import upsample_conv3x3_folded
+                x = upsample_conv3x3_folded(x, k) + b
+        else:
+            x = upsample_nearest_2x(x)
+            x = conv(self.features, self.kernel, padding=self.padding,
+                     groups=self.groups, name="conv")(x)
         x = BatchNorm(self.features, name="norm")(x, train)
         return nn.relu(x)
 

@@ -36,7 +36,7 @@ class _KPHead(nn.Module):
         prediction = conv(self.num_kp, 7, padding=0, name="kp")(feature_map)
         prediction = jnp.moveaxis(prediction, -1, 1)          # [B,K,h,w]
         heatmap = heatmap_softmax(prediction, self.temperature)
-        out = {"value": gaussian2kp(heatmap), "heatmap": heatmap}
+        out = {"heatmap": heatmap}
 
         if self.estimate_jacobian:
             num_maps = 1 if self.single_jacobian_map else self.num_kp
@@ -47,10 +47,23 @@ class _KPHead(nn.Module):
             jmap = jnp.moveaxis(jac_conv(feature_map), -1, 1)  # [B,4M,h,w]
             B, _, h, w = jmap.shape
             jmap = jmap.reshape(B, num_maps, 4, h, w)
-            # heatmap-weighted average of the per-pixel jacobian entries
-            weighted = heatmap[:, :, None] * jmap              # [B,K,4,h,w]
-            jac = jnp.sum(weighted, axis=(-2, -1))             # [B,K,4]
-            out["jacobian"] = jac.reshape(B, self.num_kp, 2, 2)
+            if num_maps == self.num_kp:
+                # fused softmax-expectation kernel (one HBM pass for value
+                # + jacobian; Pallas on TPU).  ``heatmap`` above is kept
+                # for the part1 mimic loss — inference programs drop it and
+                # XLA DCEs its softmax chain.
+                from eamm_tpu.ops.kp_expectation import kp_expectation
+                value, jac = kp_expectation(prediction, jmap,
+                                            self.temperature)
+                out["value"], out["jacobian"] = value, jac
+            else:
+                out["value"] = gaussian2kp(heatmap)
+                # heatmap-weighted average of the per-pixel jacobian entries
+                weighted = heatmap[:, :, None] * jmap          # [B,K,4,h,w]
+                jac = jnp.sum(weighted, axis=(-2, -1))         # [B,K,4]
+                out["jacobian"] = jac.reshape(B, self.num_kp, 2, 2)
+        else:
+            out["value"] = gaussian2kp(heatmap)
         return out
 
 

@@ -21,9 +21,19 @@ def _alpha(cutoff, freq):
     return 1.0 / (1.0 + tau / te)
 
 
+def one_euro_init(shape, dtype=jnp.float32):
+    """Fresh filter state for :func:`one_euro_filter` — ``shape`` is one
+    sample's shape (the sequence shape without its leading time axis).
+    The state is an ordinary pytree, so it can thread across jit boundaries
+    (the streaming pipeline carries it between fixed-size chunk programs)."""
+    zeros = jnp.zeros(shape, dtype)
+    return (zeros, zeros, zeros, jnp.zeros(shape, dtype=bool))
+
+
 def one_euro_filter(x: jnp.ndarray, *, mincutoff: float = 1.0, beta: float = 0.0,
                     dcutoff: float = 1.0, freq: float = 30.0,
-                    scale: float = 1.0) -> jnp.ndarray:
+                    scale: float = 1.0, carry=None,
+                    return_carry: bool = False):
     """Filter a sequence along its leading (time) axis.
 
     Args:
@@ -32,8 +42,15 @@ def one_euro_filter(x: jnp.ndarray, *, mincutoff: float = 1.0, beta: float = 0.0
         after, reproducing the reference's ``filter(x*100)/100`` pattern
         (ref:demo.py:235-247) — the scale changes the adaptive cutoff because
         beta multiplies |dx|.
+      carry: optional state from a previous call (:func:`one_euro_init` or a
+        prior ``return_carry=True`` call).  Filtering a sequence in chunks
+        with the carry threaded through is EXACTLY the whole-sequence filter
+        (the scan step is identical; the state holds the raw/filtered/
+        derivative values in the scaled domain).
+      return_carry: also return the final state.
 
-    Returns the filtered sequence, same shape/dtype as x.
+    Returns the filtered sequence (same shape/dtype as x), plus the final
+    carry when ``return_carry``.
     """
     xs = x * scale
     d_alpha = _alpha(jnp.asarray(dcutoff, x.dtype), freq)
@@ -48,10 +65,11 @@ def one_euro_filter(x: jnp.ndarray, *, mincutoff: float = 1.0, beta: float = 0.0
         s = jnp.where(started, a * xt + (1.0 - a) * prev_filt, xt)
         return (xt, s, edx, jnp.ones_like(started)), s
 
-    started0 = jnp.zeros(x.shape[1:], dtype=bool)
-    zeros = jnp.zeros_like(xs[0])
-    (_, _, _, _), ys = jax.lax.scan(step, (zeros, zeros, zeros, started0), xs)
-    return ys / scale
+    if carry is None:
+        carry = one_euro_init(x.shape[1:], xs.dtype)
+    final, ys = jax.lax.scan(step, carry, xs)
+    ys = ys / scale
+    return (ys, final) if return_carry else ys
 
 
 def one_euro_filter_np(x: np.ndarray, *, mincutoff: float = 1.0,

@@ -1,0 +1,83 @@
+"""Subpixel (folded) nearest-upsample convolution.
+
+The decode stack's UpBlocks compute ``conv3x3(nearest_up_2x(x))``
+(ref:modules/util.py:883-900).  Nearest upsampling duplicates every pixel
+into a 2x2 block, so the 3x3 conv at the doubled resolution multiplies each
+distinct input pixel by *sums* of kernel taps — per output-parity phase
+(a, b) in {0,1}^2 only TWO distinct input rows/cols are read:
+
+    a=0: up rows (2i-1, 2i, 2i+1) -> x rows (i-1, i, i)   taps (w0, w1+w2)
+    a=1: up rows (2i,  2i+1, 2i+2) -> x rows (i, i, i+1)  taps (w0+w1, w2)
+
+Folding the taps gives an EXACT reformulation: one VALID 2x2 convolution
+over the 1-padded input producing ``4*C_out`` channels on an (H+1, W+1)
+grid, whose four phase blocks are interleaved back to (2H, 2W) with a
+one-pixel offset per phase (phase (a, b) reads grid position (i+a, j+b)).
+
+Why this is the TPU-native form (BASELINE.md inference roofline, round-3
+kernel win #2 "fold frames into channels" — folding *phases* into channels
+is the shape-preserving variant that needs no BN-stat surgery):
+
+  * FLOPs drop 9/4 = 2.25x — the original conv re-multiplies every
+    duplicated pixel; the fold multiplies each distinct pixel once per
+    folded tap (2x2 window x 4 phases = 16 taps per 4 outputs vs 9 taps
+    per output).
+  * The MXU contraction is ``2*2*C_in`` and the output dim ``4*C_out`` —
+    for the generator's production decode (C_out 128/64) that turns
+    64-lane outputs into 512/256-lane outputs at a quarter of the spatial
+    positions: large, aligned matmuls instead of thin ones.
+  * It runs at the LOW resolution; only the final elementwise BN/ReLU and
+    the pure-data-movement interleave touch the doubled grid.
+
+Exactness: the only arithmetic change is pre-summing adjacent kernel taps
+(w1+w2) in f32 instead of summing their products inside the conv —
+reassociation at the 1-ulp level.  ``UpBlock`` therefore uses this path for
+ALL eval-mode calls (training keeps the literal form: batch-norm statistics
+are computed from conv outputs, and the fold's (H+1, W+1) intermediate is
+not where those stats are defined).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# Row-fold matrices f[a] : taps (3,) -> folded taps (2,) per output parity.
+#   a=0 reads x rows (i-1, i) with weights (w0, w1+w2)
+#   a=1 reads x rows (i, i+1) with weights (w0+w1, w2)
+_FOLD = np.asarray(
+    [[[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]],
+     [[1.0, 1.0, 0.0], [0.0, 0.0, 1.0]]], np.float32)    # [a, r, p]
+
+
+def fold_upsample_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """[3, 3, C_in, C_out] HWIO kernel -> [2, 2, C_in, 4*C_out] folded
+    kernel whose output channel blocks are the (a, b) phases, phase-major
+    (block index 2a+b)."""
+    f = jnp.asarray(_FOLD, w.dtype)
+    w2 = jnp.einsum("arp,bsq,pqio->rsiabo", f, f, w)
+    return w2.reshape(2, 2, w.shape[2], 4 * w.shape[3])
+
+
+def upsample_conv3x3_folded(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """``conv3x3_pad1(nearest_up_2x(x))`` computed as one folded 2x2 VALID
+    conv at the input resolution + phase interleave.
+
+    x: [B, H, W, C_in]; w: [3, 3, C_in, C_out] HWIO.  Returns
+    [B, 2H, 2W, C_out] (no bias — the caller adds it; a bias is
+    phase-invariant so it commutes with the interleave).
+    """
+    B, H, W, _ = x.shape
+    C = w.shape[-1]
+    w2 = fold_upsample_kernel(w)
+    z = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dn = jax.lax.conv_dimension_numbers(z.shape, w2.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(z, w2, window_strides=(1, 1),
+                                     padding="VALID", dimension_numbers=dn)
+    y = y.reshape(B, H + 1, W + 1, 4, C)
+    # phase (a, b) lives at grid position (i+a, j+b)
+    t = jnp.stack([y[:, :H, :W, 0], y[:, :H, 1:, 1],
+                   y[:, 1:, :W, 2], y[:, 1:, 1:, 3]], axis=3)
+    t = t.reshape(B, H, W, 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    return t.reshape(B, 2 * H, 2 * W, C)

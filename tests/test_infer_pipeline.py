@@ -357,3 +357,46 @@ def test_render_stream_matches_whole_clip(pipeline):
                                 adapt_scale=True))
     with pytest.raises(ValueError, match="adapt_scale"):
         next(bad.render_stream(src, wav, pose, add_emo=False))
+
+
+def test_stream_unbounded_matches_whole_clip(pipeline):
+    """segment_frames streaming (fixed-size chunk programs with the
+    recurrent state threaded between dispatches) equals the whole-clip
+    render for any clip length — and a 3x longer clip reuses the SAME
+    compiled chunk programs (zero new traces), the property that makes it
+    unbounded.  Neutral and emotional (handle == raw frames by the
+    prepare_emotion equivalence already tested above)."""
+    src, wav, pose, emo_frames = _inputs(seconds=1.5, seed=11)
+    un = EammPipeline(
+        pipeline.config, pipeline.vars,
+        options=PipelineOptions(frame_chunk=8, time_bucket=16,
+                                segment_frames=16))
+    whole = pipeline.render_uint8(src, wav, pose, add_emo=False)
+    segs = list(un.render_stream(src, wav, pose, add_emo=False))
+    assert [s for s, _ in segs] == list(range(0, whole.shape[0], 16))
+    got = np.concatenate([p for _, p in segs], axis=0)
+    assert got.shape == whole.shape
+    # chunked scans with a threaded carry compute the same math; allow the
+    # jit-boundary fusion wobble one uint8 step of headroom
+    assert np.abs(got.astype(int) - whole.astype(int)).max() <= 1
+
+    # emotional path (handle-feats chunk programs)
+    emo_whole = pipeline.render_uint8(src, wav, pose,
+                                      transformed_video=emo_frames,
+                                      add_emo=True)
+    emo_segs = list(un.render_stream(src, wav, pose,
+                                     transformed_video=emo_frames,
+                                     add_emo=True))
+    emo_got = np.concatenate([p for _, p in emo_segs], axis=0)
+    assert np.abs(emo_got.astype(int) - emo_whole.astype(int)).max() <= 1
+
+    # unbounded property: a 3x longer clip must not trace any new program
+    n_traces = un._stream_kp_chunk._cache_size()
+    src3, wav3, pose3, _ = _inputs(seconds=4.5, seed=12)
+    segs3 = list(un.render_stream(src3, wav3, pose3, add_emo=False))
+    assert un._stream_kp_chunk._cache_size() == n_traces
+    T3 = sum(p.shape[0] for _, p in segs3)
+    whole3 = pipeline.render_uint8(src3, wav3, pose3, add_emo=False)
+    assert T3 == whole3.shape[0]
+    got3 = np.concatenate([p for _, p in segs3], axis=0)
+    assert np.abs(got3.astype(int) - whole3.astype(int)).max() <= 1

@@ -73,6 +73,31 @@ def test_mfcc_matches_oracle():
     np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=1e-4)
 
 
+def test_mfcc_golden_vector():
+    """Pinned float64-derived values for a 30 ms 1 kHz cosine (2 frames).
+
+    Derived once from the audited oracle above at float64; hardcoded so the
+    jax implementation and the in-file oracle cannot drift together.  The
+    constant-by-constant audit vs the published python_speech_features
+    source lives in the eamm_tpu/ops/mfcc.py module docstring.
+    """
+    t = np.arange(480) / 16000.0
+    sig = np.cos(2 * np.pi * 1000.0 * t).astype(np.float32)
+    golden = np.array([
+        [2.7313466, -3.17523693, -16.9037009, -29.98938097, -8.62911928,
+         20.28014545, 28.31154428, 4.55892341, -22.31792712, -25.31335459,
+         -2.77878332, 17.27836534, 15.61339112],
+        [2.47535253, 19.95154009, -19.63221411, -32.00167159, -10.1640156,
+         20.33081106, 27.44741469, 4.33265794, -21.52695914, -23.61716691,
+         -2.28591608, 16.14658459, 13.76300669]])
+    ours = np.asarray(mfcc(jnp.asarray(sig)))
+    np.testing.assert_allclose(ours, golden, atol=2e-4, rtol=1e-5)
+    # golden was derived from the float64 signal; the f32 input cast above
+    # moves the oracle by ~2e-6
+    oracle = np_mfcc(sig.astype(np.float64))
+    np.testing.assert_allclose(oracle, golden, atol=1e-5)
+
+
 def test_mfcc_frame_count():
     assert num_mfcc_frames(16000) == 1 + int(np.ceil((16000 - 400) / 160))
     assert num_mfcc_frames(300) == 1

@@ -59,6 +59,49 @@ def test_pose_from_param():
     np.testing.assert_allclose(pose[4:], t3d, atol=1e-9)
 
 
+def test_pose_from_landmarks_recovers_known_rotation():
+    """Rotate the canonical 3-D landmark template by a known pose, project
+    it weak-perspectively, and recover the identical 7-vector — landmark
+    acquisition uses the same conventions as 3DDFA-param decomposition."""
+    from eamm_tpu.data.pose import (template_3d, pose_from_landmarks,
+                                    camera_from_landmarks)
+    from eamm_tpu.data.preprocess import load_template
+
+    template = load_template()
+    X = template_3d(template)
+    assert X.shape == (68, 3)
+    for theta, s, t in [((0.3, -0.15, 0.1), 0.8, (120.0, 90.0)),
+                        ((-0.5, 0.25, -0.3), 1.3, (-40.0, 15.0)),
+                        ((0.0, 0.0, 0.0), 1.0, (0.0, 0.0))]:
+        R = angle2matrix(theta)
+        lm = (s * (X @ R.T))[:, :2] + np.asarray(t)
+        pose = pose_from_landmarks(lm, template)
+        np.testing.assert_allclose(pose[:3], np.rad2deg(theta), atol=1e-6)
+        np.testing.assert_allclose(pose[3], s, atol=1e-9)
+        np.testing.assert_allclose(pose[4:6], t, atol=1e-6)
+        assert pose[6] == 0.0   # t3d.z unobservable under weak perspective
+        P = camera_from_landmarks(lm, X)
+        np.testing.assert_allclose((P[:2, :3] @ X.T).T + P[:2, 3],
+                                   lm, atol=1e-8)
+
+
+def test_estimate_pose_clip_shapes():
+    """Frames -> [T, 7] poses through the landmark path (coarse fallback:
+    finite values, in-plane-dominant — yaw/pitch stay small because the
+    fallback places a rigid template)."""
+    from eamm_tpu.data.preprocess import estimate_pose_clip
+
+    rng = np.random.RandomState(0)
+    frame = rng.randint(0, 60, (96, 96, 3)).astype(np.uint8)
+    frame[20:80, 28:68] = [190, 120, 90]   # skin-colored blob
+    frames = np.stack([frame, frame])
+    poses = estimate_pose_clip(frames)
+    assert poses.shape == (2, 7)
+    assert np.isfinite(poses).all()
+    assert np.abs(poses[:, :2]).max() < 10.0   # near-frontal by construction
+    np.testing.assert_allclose(poses[0], poses[1])
+
+
 def test_export_mfcc_windows(tmp_path):
     from scipy.io import wavfile
     rng = np.random.RandomState(3)

@@ -55,3 +55,18 @@ def test_pose_subcommand(tmp_path):
     poses = np.load(out)
     assert poses.shape == (4, 7)
     np.testing.assert_allclose(poses[0, :3], np.rad2deg(theta), atol=1e-5)
+
+
+def test_pose_from_frames_subcommand(tmp_path):
+    import pytest
+    rng = np.random.RandomState(3)
+    frame = rng.randint(0, 60, (96, 96, 3)).astype(np.uint8)
+    frame[20:80, 28:68] = [190, 120, 90]
+    frames = str(tmp_path / "clip.npy")
+    np.save(frames, np.stack([frame, frame]))
+    out = main(["pose", "--frames", frames, "--out", str(tmp_path / "p.npy")])
+    poses = np.load(out)
+    assert poses.shape == (2, 7)
+    assert np.isfinite(poses).all()
+    with pytest.raises(SystemExit, match="exactly one"):
+        main(["pose", "--out", str(tmp_path / "q.npy")])
