@@ -212,12 +212,14 @@ class _ConvWeights(nn.Module):
 class UpBlock(nn.Module):
     """nearest x2 -> conv -> BN -> ReLU (ref:modules/util.py:883-900).
 
-    Eval-mode calls compute the upsample+conv in the folded subpixel form
-    (one 2x2 VALID conv at the input resolution with 4x the output
-    channels + phase interleave — exact up to tap-sum reassociation, 2.25x
-    fewer FLOPs, MXU-aligned output widths; see eamm_tpu/ops/subpixel.py).
-    Training keeps the literal form: BN batch statistics are defined on the
-    conv output at the doubled resolution.
+    Eval-mode calls compute the upsample+conv in the aligned depth-to-space
+    subpixel form (one SAME 3x3 conv at the input resolution with 4x the
+    output channels + a single depth-to-space transpose — exact up to
+    tap-sum reassociation, MXU-aligned output widths; see
+    eamm_tpu/ops/subpixel.py, which also documents the measured-slower 2x2
+    fold whose phase interleave cost ~59 ms/render program in data
+    movement).  Training keeps the literal form: BN batch statistics are
+    defined on the conv output at the doubled resolution.
     """
     features: int
     kernel: int = 3
@@ -241,8 +243,8 @@ class UpBlock(nn.Module):
                     x, k, window_strides=(1, 1), padding=((1, 1), (1, 1)),
                     dimension_numbers=dn) + b
             else:
-                from eamm_tpu.ops.subpixel import upsample_conv3x3_folded
-                x = upsample_conv3x3_folded(x, k) + b
+                from eamm_tpu.ops.subpixel import upsample_conv3x3_d2s
+                x = upsample_conv3x3_d2s(x, k) + b
         else:
             x = upsample_nearest_2x(x)
             x = conv(self.features, self.kernel, padding=self.padding,

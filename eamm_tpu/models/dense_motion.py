@@ -42,11 +42,9 @@ class DenseMotionNetwork(nn.Module):
         src = antialias_downsample(source_image, self.scale_factor)
         B = kp_driving["value"].shape[0]
         _, h, w, C = src.shape
-        if src.shape[0] != B:
-            if not shared_source or B % src.shape[0]:
-                raise ValueError("source batch must match (or, with "
-                                 "shared_source, divide) the keypoint batch")
-            src = jnp.repeat(src, B // src.shape[0], axis=0)
+        if src.shape[0] != B and (not shared_source or B % src.shape[0]):
+            raise ValueError("source batch must match (or, with "
+                             "shared_source, divide) the keypoint batch")
         K = self.num_kp
 
         # Heatmap representation: gaussian(driving) - gaussian(source), plus a
@@ -61,12 +59,27 @@ class DenseMotionNetwork(nn.Module):
         motions = sparse_motions((h, w), kp_driving["value"], kp_source["value"],
                                  kp_driving.get("jacobian"),
                                  kp_source.get("jacobian"))
-        # the narrow-channel source warp dispatches to the gather-free
-        # twolevel tent-matmul inside grid_sample (shared_source only
-        # changes the bottleneck warp in the generator)
-        src_rep = jnp.broadcast_to(src[:, None], (B, K + 1, h, w, C))
-        deformed = grid_sample(src_rep.reshape(B * (K + 1), h, w, C),
-                               motions.reshape(B * (K + 1), h, w, 2))
+        # Narrow-channel source warp.  Batched bf16 inference (shared_source)
+        # routes through the VMEM-resident small-C Pallas kernel: the XLA
+        # twolevel path streams a [B*(K+1), P, W*C] rows intermediate through
+        # HBM in chunks (43.8 ms per 128-frame render program at the
+        # production shape on v5e) while the kernel keeps rows in VMEM and
+        # the 24 KB shared source resident across the launch (34.5 ms) —
+        # and the B*(K+1)-fold HBM repeat of the source disappears (the
+        # kernel indexes block b // group in-kernel).  Everything else
+        # (training, f32, CPU) keeps the gather-free twolevel dispatch
+        # inside grid_sample.
+        if (shared_source and src.dtype == jnp.bfloat16
+                and C <= 8 and h * w <= 4096):
+            from eamm_tpu.ops.warp_pallas import grid_sample_smallc_pallas
+            deformed = grid_sample_smallc_pallas(
+                src, motions.reshape(B * (K + 1), h, w, 2))
+        else:
+            if src.shape[0] != B:
+                src = jnp.repeat(src, B // src.shape[0], axis=0)
+            src_rep = jnp.broadcast_to(src[:, None], (B, K + 1, h, w, C))
+            deformed = grid_sample(src_rep.reshape(B * (K + 1), h, w, C),
+                                   motions.reshape(B * (K + 1), h, w, 2))
         deformed = deformed.reshape(B, K + 1, h, w, C)
 
         out = {"sparse_deformed": deformed}

@@ -49,6 +49,17 @@ _FOLD = np.asarray(
     [[[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]],
      [[1.0, 1.0, 0.0], [0.0, 0.0, 1.0]]], np.float32)    # [a, r, p]
 
+# Aligned (depth-to-space) fold: the same per-phase 2-tap weights embedded
+# in a 3-row kernel so EVERY phase reads the same SAME-padded input window
+# (i-1, i, i+1) at position i — the phase offset moves from the output
+# indexing (a slice/concat/shift chain in XLA) into structured kernel
+# zeros.  FLOPs return to the literal 3x3 count, but the conv runs at the
+# LOW resolution with 4*C_out lanes and the interleave collapses to one
+# depth-to-space transpose.
+_FOLD_D2S = np.asarray(
+    [[[1.0, 0.0, 0.0], [0.0, 1.0, 1.0], [0.0, 0.0, 0.0]],
+     [[0.0, 0.0, 0.0], [1.0, 1.0, 0.0], [0.0, 0.0, 1.0]]], np.float32)
+
 
 def fold_upsample_kernel(w: jnp.ndarray) -> jnp.ndarray:
     """[3, 3, C_in, C_out] HWIO kernel -> [2, 2, C_in, 4*C_out] folded
@@ -81,3 +92,37 @@ def upsample_conv3x3_folded(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
                    y[:, 1:, :W, 2], y[:, 1:, 1:, 3]], axis=3)
     t = t.reshape(B, H, W, 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
     return t.reshape(B, 2 * H, 2 * W, C)
+
+
+def fold_upsample_kernel_d2s(w: jnp.ndarray) -> jnp.ndarray:
+    """[3, 3, C_in, C_out] HWIO kernel -> [3, 3, C_in, 4*C_out] aligned
+    (depth-to-space) folded kernel, phase-major output blocks (2a+b)."""
+    f = jnp.asarray(_FOLD_D2S, w.dtype)
+    w3 = jnp.einsum("arp,bsq,pqio->rsiabo", f, f, w)
+    return w3.reshape(3, 3, w.shape[2], 4 * w.shape[3])
+
+
+def upsample_conv3x3_d2s(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """``conv3x3_pad1(nearest_up_2x(x))`` as one SAME 3x3 conv at the input
+    resolution with ``4*C_out`` phase channels + a single depth-to-space.
+
+    Trades the 2x2 fold's 2.25x FLOP saving for a structurally trivial
+    interleave: the 4 phase blocks land at the SAME grid position, so the
+    epilogue is one [B,H,W,2,2,C]->[B,2H,2W,C] transpose instead of the
+    slice/concat/shift chain ``upsample_conv3x3_folded`` needs (measured
+    ~59 ms of pure data movement per 256-frame render program on v5e).
+    MACs equal the literal form's, but run at the LOW resolution with
+    4*C_out output lanes — MXU-aligned where the literal's C_out-lane
+    256^2 conv is not — and the 2H x 2W nearest-upsampled input is never
+    materialized.  Exact up to the same tap-sum reassociation.
+    """
+    B, H, W, _ = x.shape
+    C = w.shape[-1]
+    w3 = fold_upsample_kernel_d2s(w)
+    dn = jax.lax.conv_dimension_numbers(x.shape, w3.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(x, w3, window_strides=(1, 1),
+                                     padding=((1, 1), (1, 1)),
+                                     dimension_numbers=dn)
+    y = y.reshape(B, H, W, 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(B, 2 * H, 2 * W, C)

@@ -104,6 +104,100 @@ def grid_sample_shared(source: jnp.ndarray, grids: jnp.ndarray,
     return out[:n_out].reshape(N, Ho, Wo, C)
 
 
+def _smallc_kernel(fy_ref, fx_ref, src_ref, out_ref, *, H: int, W: int,
+                   C: int, precision):
+    """One tile of output pixels for one batch element, C small (< a lane).
+
+    Same tent factorization as ``_twolevel_kernel``, but the x-tent reduce
+    cannot slice rows at lane boundaries (W*C is not a multiple of 128), so
+    it is done with full-lane masked reductions instead: the x-tent is
+    built directly on the [tile, W*C] lane grid via ``lane // C`` (every
+    channel of column w shares tent_x[w]), multiplied into the rows, and
+    channel c falls out as one masked lane-sum.  C reductions total —
+    C <= 8 keeps that cheap.
+    """
+    tile = fy_ref.shape[2]
+    i = pl.program_id(1)
+    fy = fy_ref[0, i, :]
+    fx = fx_ref[0, i, :]
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (tile, H), 1)
+    ty = jnp.maximum(0.0, 1.0 - jnp.abs(fy[:, None] - row_idx.astype(fy.dtype)))
+    rows = jnp.dot(ty.astype(src_ref.dtype), src_ref[0],
+                   preferred_element_type=jnp.float32,
+                   precision=precision)                       # [tile, W*C]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, W * C), 1)
+    lane_w = (lane // C).astype(fx.dtype)
+    tx = jnp.maximum(0.0, 1.0 - jnp.abs(fx[:, None] - lane_w))
+    prod = tx * rows                                          # [tile, W*C]
+    lane_c = lane % C
+    cols = [jnp.sum(jnp.where(lane_c == c, prod, 0.0), axis=1)
+            for c in range(C)]
+    out_ref[0] = jnp.stack(cols, axis=1).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("align_corners", "tile", "exact"))
+def grid_sample_smallc_pallas(image: jnp.ndarray, grid: jnp.ndarray,
+                              align_corners: bool = False,
+                              tile: int = 2048,
+                              exact: bool = False) -> jnp.ndarray:
+    """Gather-free batched bilinear warp for NARROW channel counts with a
+    shared source (the dense-motion deformed-source warp: every frame's
+    K+1 motions re-sample the same 64x64x3 downsampled source,
+    ref:modules/dense_motion.py:47-79).
+
+    The XLA twolevel formulation streams a [B, P, W*C] rows intermediate
+    through HBM (2.2 GB at the production chunk shape, forcing a chunked
+    lax.map whose per-chunk layout copies alone cost ~17% of the render
+    program); here the rows live in VMEM per tile and the tiny shared
+    source (24 KB bf16) stays resident across the whole launch.
+
+    image: [Bi, H, W, C], C <= 8, H*W <= 4096; grid: [B, Ho, Wo, 2] with
+    Bi dividing B (grid b reads image b // (B//Bi), matching
+    ``grid_sample_twolevel_pallas``).  zeros padding.  Returns
+    [B, Ho, Wo, C].
+    """
+    Bi, H, W, C = image.shape
+    B, Ho, Wo, _ = grid.shape
+    if C > 8:
+        raise ValueError(f"C={C}: use grid_sample_twolevel_pallas for wide C")
+    if B % Bi:
+        raise ValueError(f"image batch {Bi} must divide grid batch {B}")
+    P = Ho * Wo
+    from eamm_tpu.ops.warp import _unnormalize
+    g32 = grid.astype(jnp.float32)
+    fx = _unnormalize(g32[..., 0], W, align_corners).reshape(B, P)
+    fy = _unnormalize(g32[..., 1], H, align_corners).reshape(B, P)
+    tile = min(tile, P)
+    pad = (-P) % tile
+    if pad:
+        fx = jnp.pad(fx, ((0, 0), (0, pad)), constant_values=-10.0)
+        fy = jnp.pad(fy, ((0, 0), (0, pad)), constant_values=-10.0)
+    n_tiles = (P + pad) // tile
+
+    precision = (jax.lax.Precision.HIGHEST if exact
+                 else jax.lax.Precision.DEFAULT)
+    kernel = functools.partial(_smallc_kernel, H=H, W=W, C=C,
+                               precision=precision)
+    group = B // Bi
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, n_tiles, tile), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_tiles, tile), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W * C), lambda b, i: (b // group, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, P + pad, C), image.dtype),
+    )(fy.reshape(B, n_tiles, tile), fx.reshape(B, n_tiles, tile),
+      image.reshape(Bi, H, W * C))
+    return out[:, :P].reshape(B, Ho, Wo, C)
+
+
 def _twolevel_kernel(fy_ref, fx_ref, src_ref, out_ref, *, H: int, W: int,
                      C: int, precision):
     """One tile of output pixels for one batch element.

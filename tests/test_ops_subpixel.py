@@ -29,6 +29,19 @@ def test_folded_equals_literal():
                                    atol=2e-6, rtol=1e-5)
 
 
+def test_d2s_fold_equals_literal():
+    from eamm_tpu.ops.subpixel import upsample_conv3x3_d2s
+    rng = np.random.RandomState(2)
+    for B, H, W, Ci, Co in [(2, 5, 7, 3, 4), (1, 8, 8, 16, 8)]:
+        x = jnp.asarray(rng.randn(B, H, W, Ci).astype(np.float32))
+        w = jnp.asarray(0.1 * rng.randn(3, 3, Ci, Co).astype(np.float32))
+        got = upsample_conv3x3_d2s(x, w)
+        want = _literal(x, w)
+        assert got.shape == want.shape == (B, 2 * H, 2 * W, Co)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-6, rtol=1e-5)
+
+
 def test_upblock_eval_matches_train_form():
     """The eval-mode UpBlock (folded) equals the literal computation with
     the same params; the param tree keeps the conv/kernel+bias layout."""
