@@ -24,6 +24,17 @@ from eamm_tpu.models.blocks import (dense, BatchNorm, ConvBlock, ConvTranspose,
                                     DownBlock)
 
 
+def _w(channels: int, width: float) -> int:
+    """Scale a channel count by the module's ``width`` multiplier.
+
+    ``width=1.0`` (the default everywhere) reproduces the reference
+    architecture exactly; fractional widths keep the full structure (layer
+    count, strides, output shapes) at narrower channels — used by the
+    multichip dryrun and sharding tests, where the 45M-param production
+    ATNet would be pure replicated-weight traffic on virtual devices."""
+    return max(4, int(round(channels * width)))
+
+
 class LSTM(nn.Module):
     """Multi-layer LSTM with torch gate ordering (i, f, g, o) and zero
     initial state (ref:modules/util.py:244,271-272,288), as one lax.scan."""
@@ -85,59 +96,66 @@ class LSTM(nn.Module):
 class ImageEncoder(nn.Module):
     """8 DownBlocks 3->4->...->512, 256^2 -> 1^2, flattened to a 512-d
     identity vector (ref:modules/util.py:206-212,273-277)."""
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, image: jnp.ndarray, train: bool) -> jnp.ndarray:
         out = image
         for i in range(8):
-            out = DownBlock(2 * (2 ** (i + 1)), name=f"down{i}")(out, train)
+            out = DownBlock(_w(2 * (2 ** (i + 1)), self.width),
+                            name=f"down{i}")(out, train)
         return out.reshape(out.shape[0], -1)
 
 
 class AudioEncoder(nn.Module):
     """Conv stack over a 28x12 MFCC window -> 256-d feature
     (ref:modules/util.py:228-243)."""
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, mfcc: jnp.ndarray, train: bool) -> jnp.ndarray:
+        w = self.width
         x = mfcc[..., None]                                   # [N,28,12,1]
-        x = ConvBlock(64, name="conv0")(x, train)
-        x = ConvBlock(128, name="conv1")(x, train)
+        x = ConvBlock(_w(64, w), name="conv0")(x, train)
+        x = ConvBlock(_w(128, w), name="conv1")(x, train)
         x = nn.max_pool(x, (3, 3), strides=(1, 2), padding="VALID")
-        x = ConvBlock(256, name="conv2")(x, train)
-        x = ConvBlock(256, name="conv3")(x, train)
-        x = ConvBlock(512, name="conv4")(x, train)
+        x = ConvBlock(_w(256, w), name="conv2")(x, train)
+        x = ConvBlock(_w(256, w), name="conv3")(x, train)
+        x = ConvBlock(_w(512, w), name="conv4")(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
         x = x.reshape(x.shape[0], -1)                         # [N, 12288]
-        x = nn.relu(dense(2048, name="fc0")(x))
-        x = nn.relu(dense(256, name="fc1")(x))
+        x = nn.relu(dense(_w(2048, w), name="fc0")(x))
+        x = nn.relu(dense(_w(256, w), name="fc1")(x))
         return x
 
 
 class PoseEncoder(nn.Module):
     """6-d head pose -> 256-d feature (ref:modules/util.py:221-227)."""
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, pose: jnp.ndarray) -> jnp.ndarray:
-        x = nn.relu(dense(128, name="fc0")(pose))
-        return nn.relu(dense(256, name="fc1")(x))
+        x = nn.relu(dense(_w(128, self.width), name="fc0")(pose))
+        return nn.relu(dense(_w(256, self.width), name="fc1")(x))
 
 
 class FeatureDecoder(nn.Module):
     """LSTM state [N,256] -> 35-channel 64x64 map via transposed convs
     (ref:modules/util.py:248-265)."""
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, train: bool) -> jnp.ndarray:
+        w = self.width
         x = h[:, None, None, :]                               # [N,1,1,256]
-        x = ConvTranspose(256, 6, 2, 1, name="decon0")(x)     # 4x4
-        x = nn.relu(BatchNorm(256, name="norm0")(x, train))
-        x = ConvTranspose(128, 4, 2, 1, name="decon1")(x)     # 8x8
-        x = nn.relu(BatchNorm(128, name="norm1")(x, train))
-        x = ConvTranspose(128, 4, 2, 1, name="decon2")(x)     # 16x16
-        x = nn.relu(BatchNorm(128, name="norm2")(x, train))
-        x = ConvTranspose(128, 4, 2, 1, name="decon3")(x)     # 32x32
-        x = nn.relu(BatchNorm(128, name="norm3")(x, train))
+        x = ConvTranspose(_w(256, w), 6, 2, 1, name="decon0")(x)   # 4x4
+        x = nn.relu(BatchNorm(_w(256, w), name="norm0")(x, train))
+        x = ConvTranspose(_w(128, w), 4, 2, 1, name="decon1")(x)   # 8x8
+        x = nn.relu(BatchNorm(_w(128, w), name="norm1")(x, train))
+        x = ConvTranspose(_w(128, w), 4, 2, 1, name="decon2")(x)   # 16x16
+        x = nn.relu(BatchNorm(_w(128, w), name="norm2")(x, train))
+        x = ConvTranspose(_w(128, w), 4, 2, 1, name="decon3")(x)   # 32x32
+        x = nn.relu(BatchNorm(_w(128, w), name="norm3")(x, train))
         return ConvTranspose(35, 4, 2, 1, name="decon4")(x)   # 64x64, raw
 
 
@@ -148,17 +166,21 @@ class ATNet(nn.Module):
       -> deco_out [B,T,64,64,35]
     """
     jaco_net: str = "cnn"
+    # width=1.0 is the reference architecture; fractional widths keep the
+    # structure at narrower channels (sharding tests / multichip dryrun).
+    width: float = 1.0
 
     def setup(self):
-        self.image_encoder = ImageEncoder()
-        self.audio_encoder = AudioEncoder()
-        self.pose_encoder = PoseEncoder()
-        self.lstm = LSTM(256, 3)
+        self.image_encoder = ImageEncoder(self.width)
+        self.audio_encoder = AudioEncoder(self.width)
+        self.pose_encoder = PoseEncoder(self.width)
+        self.lstm = LSTM(_w(256, self.width), 3)
         if self.jaco_net == "cnn":
-            self.decoder = FeatureDecoder()
+            self.decoder = FeatureDecoder(self.width)
         elif self.jaco_net == "gan":
             from eamm_tpu.models.stylegan2 import SynthesisGenerator
-            self.generator = SynthesisGenerator(size=64, style_dim=256,
+            self.generator = SynthesisGenerator(size=64,
+                                                style_dim=_w(256, self.width),
                                                 n_mlp=8, out_channels=35)
         else:
             raise ValueError(
