@@ -98,6 +98,47 @@ def main():
     res["dmwarp_maxdiff"] = round(float(np.abs(
         np.asarray(out, np.float32) - np.asarray(ref_out, np.float32)).max()), 4)
 
+    # thin-output convs: literal vs space-to-depth grid (conv_s2d).
+    # generator final 7x7 64->3 at 256^2; dense-motion mask+occlusion
+    # 7x7 C->12 pair at 64^2 (fused into one conv on the s2d path).
+    from eamm_tpu.ops.subpixel import conv_s2d
+
+    def lit_conv(x, w, p):
+        dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding=((p, p), (p, p)),
+            dimension_numbers=dn)
+
+    x = jnp.asarray(rng.randn(128, 256, 256, 64), jnp.bfloat16)
+    w = jnp.asarray(0.1 * rng.randn(7, 7, 64, 3), jnp.bfloat16)
+    ms, ref_out = _timed(jax.jit(lambda a, b: lit_conv(a, b, 3)), (x, w))
+    res["finalconv_literal_ms"] = round(ms, 2)
+    ms, out = _timed(jax.jit(lambda a, b: conv_s2d(a, b, block=4)), (x, w))
+    res["finalconv_s2d_ms"] = round(ms, 2)
+    res["finalconv_maxdiff"] = round(float(np.abs(
+        np.asarray(out, np.float32) - np.asarray(ref_out, np.float32)).max()), 4)
+
+    x = jnp.asarray(rng.randn(256, 64, 64, 64), jnp.bfloat16)
+    wm = jnp.asarray(0.1 * rng.randn(7, 7, 64, 11), jnp.bfloat16)
+    wo = jnp.asarray(0.1 * rng.randn(7, 7, 64, 1), jnp.bfloat16)
+
+    def mask_occ_literal(a, b, c):
+        return lit_conv(a, b, 3), lit_conv(a, c, 3)
+
+    def mask_occ_s2d(a, b, c):
+        y = conv_s2d(a, jnp.concatenate([b, c], axis=-1), block=4)
+        return y[..., :11], y[..., 11:]
+
+    ms, ref_out = _timed(jax.jit(mask_occ_literal), (x, wm, wo))
+    res["maskocc_literal_ms"] = round(ms, 2)
+    ms, out = _timed(jax.jit(mask_occ_s2d), (x, wm, wo))
+    res["maskocc_s2d_ms"] = round(ms, 2)
+    res["maskocc_maxdiff"] = round(max(
+        float(np.abs(np.asarray(out[i], np.float32)
+                     - np.asarray(ref_out[i], np.float32)).max())
+        for i in range(2)), 4)
+
     print(json.dumps(res))
 
 

@@ -194,18 +194,21 @@ class DownBlock(nn.Module):
 
 
 class _ConvWeights(nn.Module):
-    """Parameter-only twin of a 3x3 ``conv`` child: declares the identical
+    """Parameter-only twin of a ``conv`` child: declares the identical
     kernel/bias (same names, shapes, initializers) so checkpoints and the
     torch converters see the same tree while the parent module chooses the
-    computation form (literal vs folded subpixel)."""
+    computation form (literal, folded subpixel, or space-to-depth)."""
     features: int
     kernel: int
+    kernel_init: object = None     # defaults to the torch conv init
+    bias_init: object = None       # defaults to zeros
 
     @nn.compact
     def __call__(self, in_features: int):
-        k = self.param("kernel", _torch_kernel_init,
+        k = self.param("kernel", self.kernel_init or _torch_kernel_init,
                        (self.kernel, self.kernel, in_features, self.features))
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        b = self.param("bias", self.bias_init or nn.initializers.zeros,
+                       (self.features,))
         return k, b
 
 

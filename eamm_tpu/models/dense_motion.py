@@ -7,10 +7,11 @@ forward is a single fused XLA program.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from eamm_tpu.models.blocks import Hourglass, conv
+from eamm_tpu.models.blocks import Hourglass, conv, _ConvWeights
 from eamm_tpu.ops.antialias import antialias_downsample
 from eamm_tpu.ops.grid import kp2gaussian
 from eamm_tpu.ops.motion import sparse_motions
@@ -94,13 +95,44 @@ class DenseMotionNetwork(nn.Module):
         prediction = Hourglass(self.block_expansion, self.num_blocks,
                                self.max_features, name="hourglass")(hg_in, train)
 
-        mask = conv(K + 1, 7, padding=3, name="mask")(prediction)
-        mask = nn.softmax(mask, axis=-1)                       # [B,h,w,K+1]
+        # Parameter-only twins of conv(K+1, 7, pad=3) / conv(1, 7, pad=3):
+        # eval fuses both thin heads into ONE space-to-depth conv (the
+        # literal pair leaves 116 of the MXU's 128 output lanes idle and
+        # reads the hourglass features twice — see
+        # eamm_tpu/ops/subpixel.py::conv_s2d).
+        cp = prediction.shape[-1]
+        km, bm = _ConvWeights(K + 1, 7, name="mask")(cp)
+        if self.estimate_occlusion_map:
+            ko, bo = _ConvWeights(1, 7, name="occlusion")(cp)
+        dt = jnp.promote_types(prediction.dtype, km.dtype)
+        pred = prediction.astype(dt)
+        if not train and h % 4 == 0 and w % 4 == 0:
+            from eamm_tpu.ops.subpixel import conv_s2d
+            w_all = km if not self.estimate_occlusion_map else (
+                jnp.concatenate([km, ko], axis=-1))
+            b_all = bm if not self.estimate_occlusion_map else (
+                jnp.concatenate([bm, bo], axis=-1))
+            y = conv_s2d(pred, w_all.astype(dt), block=4) + b_all.astype(dt)
+            mask_raw = y[..., :K + 1]
+            occ_raw = y[..., K + 1:] if self.estimate_occlusion_map else None
+        else:
+            dn = jax.lax.conv_dimension_numbers(
+                pred.shape, km.shape, ("NHWC", "HWIO", "NHWC"))
+            mask_raw = jax.lax.conv_general_dilated(
+                pred, km.astype(dt), window_strides=(1, 1),
+                padding=((3, 3), (3, 3)),
+                dimension_numbers=dn) + bm.astype(dt)
+            occ_raw = None
+            if self.estimate_occlusion_map:
+                occ_raw = jax.lax.conv_general_dilated(
+                    pred, ko.astype(dt), window_strides=(1, 1),
+                    padding=((3, 3), (3, 3)),
+                    dimension_numbers=dn) + bo.astype(dt)
+        mask = nn.softmax(mask_raw, axis=-1)                   # [B,h,w,K+1]
         out["mask"] = mask
         deformation = jnp.einsum("bhwk,bkhwc->bhwc", mask, motions)
         out["deformation"] = deformation                       # [B,h,w,2]
 
         if self.estimate_occlusion_map:
-            occ = conv(1, 7, padding=3, name="occlusion")(prediction)
-            out["occlusion_map"] = nn.sigmoid(occ)             # [B,h,w,1]
+            out["occlusion_map"] = nn.sigmoid(occ_raw)         # [B,h,w,1]
         return out

@@ -12,7 +12,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 import flax.linen as nn
 
-from eamm_tpu.models.blocks import SameBlock, DownBlock, UpBlock, ResBlock, conv
+import jax
+from eamm_tpu.models.blocks import (SameBlock, DownBlock, UpBlock, ResBlock,
+                                    conv, _ConvWeights)
 from eamm_tpu.models.dense_motion import DenseMotionNetwork
 from eamm_tpu.ops.warp import grid_sample, resize_bilinear
 
@@ -60,7 +62,11 @@ class OcclusionAwareGenerator(nn.Module):
                         self.block_expansion * (2 ** (self.num_down_blocks - i - 1))),
                     name=f"up{i}")
             for i in range(self.num_down_blocks)]
-        self.final = conv(self.num_channels, 7, padding=3, name="final")
+        # parameter-only twin of conv(num_channels, 7, padding=3): eval
+        # computes the thin 64->3 conv on the space-to-depth grid (the
+        # literal form leaves 125 of the MXU's 128 output lanes idle at
+        # 256^2 — see eamm_tpu/ops/subpixel.py::conv_s2d)
+        self.final = _ConvWeights(self.num_channels, 7, name="final")
 
     def encode_source(self, source_image: jnp.ndarray, train: bool = False):
         """Source-only feature volume [B, H/4, W/4, 256]."""
@@ -139,7 +145,18 @@ class OcclusionAwareGenerator(nn.Module):
             out = block(out, train)
         for block in self.up_blocks:
             out = block(out, train)
-        out = self.final(out)
+        k, bias = self.final(out.shape[-1])
+        dt = jnp.promote_types(out.dtype, k.dtype)
+        out, k, bias = out.astype(dt), k.astype(dt), bias.astype(dt)
+        if not train and out.shape[1] % 4 == 0 and out.shape[2] % 4 == 0:
+            from eamm_tpu.ops.subpixel import conv_s2d
+            out = conv_s2d(out, k, block=4) + bias
+        else:
+            dn = jax.lax.conv_dimension_numbers(
+                out.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+            out = jax.lax.conv_general_dilated(
+                out, k, window_strides=(1, 1), padding=((3, 3), (3, 3)),
+                dimension_numbers=dn) + bias
         output["prediction"] = nn.sigmoid(out)
         return output
 

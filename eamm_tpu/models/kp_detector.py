@@ -9,10 +9,11 @@ Returned dict: {'value': [B,K,2], 'heatmap': [B,K,58,58],
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from eamm_tpu.models.blocks import Hourglass, conv
+from eamm_tpu.models.blocks import Hourglass, _ConvWeights
 from eamm_tpu.ops.antialias import antialias_downsample
 from eamm_tpu.ops.grid import heatmap_softmax, gaussian2kp
 
@@ -32,19 +33,47 @@ class _KPHead(nn.Module):
     single_jacobian_map: bool = False
 
     @nn.compact
-    def __call__(self, feature_map: jnp.ndarray) -> dict:
-        prediction = conv(self.num_kp, 7, padding=0, name="kp")(feature_map)
-        prediction = jnp.moveaxis(prediction, -1, 1)          # [B,K,h,w]
+    def __call__(self, feature_map: jnp.ndarray,
+                 train: bool = False) -> dict:
+        # Parameter-only twins of the two 7x7 VALID conv heads: eval fuses
+        # kp (K lanes) + jacobian (4K lanes) into ONE space-to-depth conv
+        # (eamm_tpu/ops/subpixel.py::conv_s2d with pad=0 computes the
+        # unpadded alignment on the full block grid; the VALID region is a
+        # slice) — the literal pair leaves most of the MXU's 128 output
+        # lanes idle and reads the hourglass features twice per frame.
+        cf = feature_map.shape[-1]
+        kk, kb = _ConvWeights(self.num_kp, 7, name="kp")(cf)
+        num_maps = 1 if self.single_jacobian_map else self.num_kp
+        jk = jb = None
+        if self.estimate_jacobian:
+            jk, jb = _ConvWeights(4 * num_maps, 7,
+                                  kernel_init=nn.initializers.zeros,
+                                  bias_init=_identity_jacobian_bias,
+                                  name="jacobian")(cf)
+        H, W = feature_map.shape[1:3]
+        dt = jnp.promote_types(feature_map.dtype, kk.dtype)
+        fm = feature_map.astype(dt)
+        if jk is not None:
+            w_all = jnp.concatenate([kk, jk], axis=-1).astype(dt)
+            b_all = jnp.concatenate([kb, jb]).astype(dt)
+        else:
+            w_all, b_all = kk.astype(dt), kb.astype(dt)
+        if not train and H % 4 == 0 and W % 4 == 0:
+            from eamm_tpu.ops.subpixel import conv_s2d
+            y = conv_s2d(fm, w_all, block=4, pad=0)
+            y = y[:, :H - 6, :W - 6] + b_all
+        else:
+            dn = jax.lax.conv_dimension_numbers(
+                fm.shape, w_all.shape, ("NHWC", "HWIO", "NHWC"))
+            y = jax.lax.conv_general_dilated(
+                fm, w_all, window_strides=(1, 1), padding=((0, 0), (0, 0)),
+                dimension_numbers=dn) + b_all
+        prediction = jnp.moveaxis(y[..., :self.num_kp], -1, 1)  # [B,K,h,w]
         heatmap = heatmap_softmax(prediction, self.temperature)
         out = {"heatmap": heatmap}
 
         if self.estimate_jacobian:
-            num_maps = 1 if self.single_jacobian_map else self.num_kp
-            jac_conv = nn.Conv(4 * num_maps, (7, 7), padding=((0, 0), (0, 0)),
-                               kernel_init=nn.initializers.zeros,
-                               bias_init=_identity_jacobian_bias,
-                               name="jacobian")
-            jmap = jnp.moveaxis(jac_conv(feature_map), -1, 1)  # [B,4M,h,w]
+            jmap = jnp.moveaxis(y[..., self.num_kp:], -1, 1)   # [B,4M,h,w]
             B, _, h, w = jmap.shape
             jmap = jmap.reshape(B, num_maps, 4, h, w)
             if num_maps == self.num_kp:
@@ -85,7 +114,8 @@ class KPDetector(nn.Module):
         feature_map = Hourglass(self.block_expansion, self.num_blocks,
                                 self.max_features, name="predictor")(x, train)
         return _KPHead(self.num_kp, self.temperature, self.estimate_jacobian,
-                       self.single_jacobian_map, name="head")(feature_map)
+                       self.single_jacobian_map, name="head")(feature_map,
+                                                             train)
 
 
 class KPDetectorA(nn.Module):
@@ -108,4 +138,5 @@ class KPDetectorA(nn.Module):
     @nn.compact
     def __call__(self, feature_map: jnp.ndarray, train: bool = False) -> dict:
         return _KPHead(self.num_kp, self.temperature, self.estimate_jacobian,
-                       self.single_jacobian_map, name="head")(feature_map)
+                       self.single_jacobian_map, name="head")(feature_map,
+                                                              train)

@@ -94,6 +94,81 @@ def upsample_conv3x3_folded(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return t.reshape(B, 2 * H, 2 * W, C)
 
 
+def _s2d_fold(kernel: int, pad: int, block: int):
+    """Indicator fold tensor for expressing a stride-1 conv on the
+    space-to-depth input grid.
+
+    ``F[a, R, u, r] = 1`` iff output phase ``a`` (row offset within an
+    output block), original tap ``r`` reads the input row at relative
+    block ``R`` (offset so R >= 0), within-block offset ``u``.  Returns
+    ``(F, (pad_lo, pad_hi))`` where the pads are whole input *blocks*.
+    Every entry of the original kernel is copied (not summed) into the
+    folded kernel, so the reformulation is exact up to the contraction
+    accumulating extra structural zeros.
+    """
+    tmin = -pad
+    tmax = block - 1 + kernel - 1 - pad
+    rmin, rmax = tmin // block, tmax // block
+    F = np.zeros((block, rmax - rmin + 1, block, kernel), np.float32)
+    for a in range(block):
+        for r in range(kernel):
+            t = a + r - pad
+            F[a, t // block - rmin, t % block, r] = 1.0
+    return F, (-rmin, rmax)
+
+
+def fold_conv_kernel_s2d(w: jnp.ndarray, block: int,
+                         pad: int | None = None):
+    """[kh, kw, C_in, C_out] HWIO kernel -> space-to-depth folded kernel
+    ``[Kh, Kw, block^2*C_in, block^2*C_out]`` plus block-pad amounts."""
+    kh, kw, cin, cout = w.shape
+    if pad is None:
+        pad = kh // 2
+    Fr, pads_r = _s2d_fold(kh, pad, block)
+    Fc, pads_c = _s2d_fold(kw, pad, block)
+    f_r = jnp.asarray(Fr, w.dtype)
+    f_c = jnp.asarray(Fc, w.dtype)
+    w2 = jnp.einsum("aRur,eScs,rsio->RSuciaeo", f_r, f_c, w)
+    Kh, Kw = Fr.shape[1], Fc.shape[1]
+    return (w2.reshape(Kh, Kw, block * block * cin, block * block * cout),
+            pads_r, pads_c)
+
+
+def conv_s2d(x: jnp.ndarray, w: jnp.ndarray, block: int = 4,
+             pad: int | None = None) -> jnp.ndarray:
+    """Stride-1 SAME conv with a *thin* output computed on the
+    space-to-depth grid: ``[B,H,W,Cin] -> [B,H/b,W/b,b^2*Cin]`` conv
+    ``-> [B,H/b,W/b,b^2*Cout]`` -> depth-to-space ``[B,H,W,Cout]``.
+
+    The generator's final 7x7 conv maps 64 channels to 3 at 256^2
+    (ref:modules/generator.py:30,92): as written its MXU matmul is
+    [65536 rows x 3136] with THREE output lanes of the MXU's 128 — at
+    block=4 the same conv becomes [4096 rows x 9216] with 48 output
+    lanes, ~5x fewer row*contraction cycles, and every original tap is
+    copied (not summed) into the folded kernel, so the only numeric
+    change is the contraction accumulating structural zeros.  Worth it
+    only when C_out is far below the 128-lane width; wide convs lose
+    (the folded kernel is block^2 times larger in both channel dims).
+    """
+    B, H, W, cin = x.shape
+    cout = w.shape[-1]
+    if H % block or W % block:
+        raise ValueError(f"spatial dims {(H, W)} not divisible by {block}")
+    w2, (plo_r, phi_r), (plo_c, phi_c) = fold_conv_kernel_s2d(w, block, pad)
+    hb, wb = H // block, W // block
+    z = x.reshape(B, hb, block, wb, block, cin)
+    z = z.transpose(0, 1, 3, 2, 4, 5).reshape(B, hb, wb,
+                                              block * block * cin)
+    dn = jax.lax.conv_dimension_numbers(z.shape, w2.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        z, w2, window_strides=(1, 1),
+        padding=((plo_r, phi_r), (plo_c, phi_c)), dimension_numbers=dn)
+    y = y.reshape(B, hb, wb, block, block, cout)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(B, H, W, cout)
+
+
 def fold_upsample_kernel_d2s(w: jnp.ndarray) -> jnp.ndarray:
     """[3, 3, C_in, C_out] HWIO kernel -> [3, 3, C_in, 4*C_out] aligned
     (depth-to-space) folded kernel, phase-major output blocks (2a+b)."""

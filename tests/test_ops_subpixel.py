@@ -42,6 +42,29 @@ def test_d2s_fold_equals_literal():
                                    atol=2e-6, rtol=1e-5)
 
 
+def test_conv_s2d_equals_literal():
+    """Space-to-depth thin-output conv == literal SAME conv (the generator
+    final 7x7 64->3 shape plus assorted kernels/blocks)."""
+    from eamm_tpu.ops.subpixel import conv_s2d
+    rng = np.random.RandomState(3)
+    for B, H, W, Ci, Co, k, blk in [(2, 16, 16, 5, 3, 7, 4),
+                                    (1, 8, 12, 4, 2, 3, 2),
+                                    (1, 16, 16, 64, 3, 7, 4),
+                                    (2, 12, 8, 3, 1, 5, 4),
+                                    (1, 16, 16, 6, 3, 7, 8)]:
+        x = jnp.asarray(rng.randn(B, H, W, Ci).astype(np.float32))
+        w = jnp.asarray(0.1 * rng.randn(k, k, Ci, Co).astype(np.float32))
+        dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        want = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding=((k // 2,) * 2,) * 2,
+            dimension_numbers=dn)
+        got = conv_s2d(x, w, block=blk)
+        assert got.shape == want.shape == (B, H, W, Co)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-5)
+
+
 def test_upblock_eval_matches_train_form():
     """The eval-mode UpBlock (folded) equals the literal computation with
     the same params; the param tree keeps the conv/kernel+bias layout."""
