@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from eamm_tpu.models.blocks import Hourglass, conv, _ConvWeights
+from eamm_tpu.models.blocks import Hourglass, _ConvWeights
 from eamm_tpu.ops.antialias import antialias_downsample
 from eamm_tpu.ops.grid import kp2gaussian
 from eamm_tpu.ops.motion import sparse_motions

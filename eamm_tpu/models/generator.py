@@ -14,7 +14,7 @@ import flax.linen as nn
 
 import jax
 from eamm_tpu.models.blocks import (SameBlock, DownBlock, UpBlock, ResBlock,
-                                    conv, _ConvWeights)
+                                    _ConvWeights)
 from eamm_tpu.models.dense_motion import DenseMotionNetwork
 from eamm_tpu.ops.warp import grid_sample, resize_bilinear
 

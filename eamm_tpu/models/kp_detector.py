@@ -42,11 +42,12 @@ class _KPHead(nn.Module):
         # slice) — the literal pair leaves most of the MXU's 128 output
         # lanes idle and reads the hourglass features twice per frame.
         cf = feature_map.shape[-1]
-        kk, kb = _ConvWeights(self.num_kp, 7, name="kp")(cf)
+        k = 7  # VALID head kernel size; the eval slice below depends on it
+        kk, kb = _ConvWeights(self.num_kp, k, name="kp")(cf)
         num_maps = 1 if self.single_jacobian_map else self.num_kp
         jk = jb = None
         if self.estimate_jacobian:
-            jk, jb = _ConvWeights(4 * num_maps, 7,
+            jk, jb = _ConvWeights(4 * num_maps, k,
                                   kernel_init=nn.initializers.zeros,
                                   bias_init=_identity_jacobian_bias,
                                   name="jacobian")(cf)
@@ -61,7 +62,7 @@ class _KPHead(nn.Module):
         if not train and H % 4 == 0 and W % 4 == 0:
             from eamm_tpu.ops.subpixel import conv_s2d
             y = conv_s2d(fm, w_all, block=4, pad=0)
-            y = y[:, :H - 6, :W - 6] + b_all
+            y = y[:, :H - (k - 1), :W - (k - 1)] + b_all
         else:
             dn = jax.lax.conv_dimension_numbers(
                 fm.shape, w_all.shape, ("NHWC", "HWIO", "NHWC"))

@@ -122,10 +122,10 @@ def fold_conv_kernel_s2d(w: jnp.ndarray, block: int,
     """[kh, kw, C_in, C_out] HWIO kernel -> space-to-depth folded kernel
     ``[Kh, Kw, block^2*C_in, block^2*C_out]`` plus block-pad amounts."""
     kh, kw, cin, cout = w.shape
-    if pad is None:
-        pad = kh // 2
-    Fr, pads_r = _s2d_fold(kh, pad, block)
-    Fc, pads_c = _s2d_fold(kw, pad, block)
+    pad_r = kh // 2 if pad is None else pad
+    pad_c = kw // 2 if pad is None else pad
+    Fr, pads_r = _s2d_fold(kh, pad_r, block)
+    Fc, pads_c = _s2d_fold(kw, pad_c, block)
     f_r = jnp.asarray(Fr, w.dtype)
     f_c = jnp.asarray(Fc, w.dtype)
     w2 = jnp.einsum("aRur,eScs,rsio->RSuciaeo", f_r, f_c, w)
