@@ -149,8 +149,11 @@ class OcclusionAwareGenerator(nn.Module):
         dt = jnp.promote_types(out.dtype, k.dtype)
         out, k, bias = out.astype(dt), k.astype(dt), bias.astype(dt)
         if not train and out.shape[1] % 4 == 0 and out.shape[2] % 4 == 0:
-            from eamm_tpu.ops.subpixel import conv_s2d
-            out = conv_s2d(out, k, block=4) + bias
+            # implicit space-to-depth: the stride-4 phase-expanded conv
+            # avoids conv_s2d's full-activation input transpose (measured
+            # faster at this 256^2 shape, benchmarks/bench_s2d_strided.py)
+            from eamm_tpu.ops.subpixel import conv_s2d_strided
+            out = conv_s2d_strided(out, k, block=4) + bias
         else:
             dn = jax.lax.conv_dimension_numbers(
                 out.shape, k.shape, ("NHWC", "HWIO", "NHWC"))

@@ -169,6 +169,47 @@ def conv_s2d(x: jnp.ndarray, w: jnp.ndarray, block: int = 4,
     return y.reshape(B, H, W, cout)
 
 
+def conv_s2d_strided(x: jnp.ndarray, w: jnp.ndarray,
+                     block: int = 4) -> jnp.ndarray:
+    """Stride-1 SAME thin-output conv as ONE stride-``block`` conv with an
+    (k+block-1)-tap phase-expanded kernel — the space-to-depth happens
+    IMPLICITLY in the conv's stride, so the [B,H/b,b,W/b,b,C] input
+    rearrange that ``conv_s2d`` pays (a layout-hostile transpose of the
+    full activation, ~5 ms/program at the generator final-conv shape in
+    the round-5 trace) never exists.
+
+    Derivation: out[b*i+a, b*j+e, c] = sum_{dy,dx} x[b*i+a+dy-p, ...]
+    w[dy,dx] is, as a function of (i, j), a stride-b conv whose kernel tap
+    t covers phase a at t = a+dy: W'[t,s,ci,(a,e,c)] = w[t-a,s-e,ci,c],
+    window (k+b-1)^2, padding (p, k-1-p).  The structural zeros make the
+    contraction ~(1+ (b-1)/k)^2 x the literal FLOPs, which the wide-lane
+    stride-b matmul more than buys back at 256^2 (measured on the v5e:
+    30.7 ms vs 33.4 conv_s2d vs 42.2 literal per 128-frame chunk at the
+    7x7 64->3 shape; at 64^2 heads the transpose is small and conv_s2d
+    stays faster — benchmarks/bench_s2d_strided.py).  Exact up to tap-sum
+    reassociation.  SAME padding only.
+    """
+    kh, kw, cin, cout = w.shape
+    p, q = kh // 2, kw // 2
+    T, S = kh + block - 1, kw + block - 1
+    wp = jnp.zeros((T, S, cin, block, block, cout), w.dtype)
+    for a in range(block):
+        for e in range(block):
+            wp = wp.at[a:a + kh, e:e + kw, :, a, e, :].add(w)
+    wp = wp.reshape(T, S, cin, block * block * cout)
+    B, H, W, _ = x.shape
+    if H % block or W % block:
+        raise ValueError(f"spatial dims {(H, W)} not divisible by {block}")
+    dn = jax.lax.conv_dimension_numbers(x.shape, wp.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x, wp, window_strides=(block, block),
+        padding=((p, kh - 1 - p), (q, kw - 1 - q)), dimension_numbers=dn)
+    hb, wb = H // block, W // block
+    y = y.reshape(B, hb, wb, block, block, cout).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(B, H, W, cout)
+
+
 def fold_upsample_kernel_d2s(w: jnp.ndarray) -> jnp.ndarray:
     """[3, 3, C_in, C_out] HWIO kernel -> [3, 3, C_in, 4*C_out] aligned
     (depth-to-space) folded kernel, phase-major output blocks (2a+b)."""

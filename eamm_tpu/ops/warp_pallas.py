@@ -104,17 +104,23 @@ def grid_sample_shared(source: jnp.ndarray, grids: jnp.ndarray,
     return out[:n_out].reshape(N, Ho, Wo, C)
 
 
-def _smallc_kernel(fy_ref, fx_ref, src_ref, out_ref, *, H: int, W: int,
-                   C: int, precision):
+def _smallc_kernel(fy_ref, fx_ref, lanew_ref, src_ref, e_ref, out_ref, *,
+                   H: int, W: int, C: int, precision):
     """One tile of output pixels for one batch element, C small (< a lane).
 
     Same tent factorization as ``_twolevel_kernel``, but the x-tent reduce
     cannot slice rows at lane boundaries (W*C is not a multiple of 128), so
-    it is done with full-lane masked reductions instead: the x-tent is
-    built directly on the [tile, W*C] lane grid via ``lane // C`` (every
-    channel of column w shares tent_x[w]), multiplied into the rows, and
-    channel c falls out as one masked lane-sum.  C reductions total —
-    C <= 8 keeps that cheap.
+    both remaining stages ride the MXU instead of the VPU: the x-tent is
+    built directly on the [tile, W*C] lane grid against the PRECOMPUTED
+    per-lane column coordinate (lanew_ref — hoisting the round-3 kernel's
+    in-kernel ``iota // C``, an integer division by a non-power-of-2 the
+    VPU paid per invocation), multiplied into the rows, and the C channel
+    sums fall out as ONE [tile, W*C] x [W*C, C] dot with the channel
+    one-hot selector (e_ref) — replacing C full-lane masked reductions
+    (cross-lane shuffle cascades) with an MXU pass.  Measured on the v5e
+    at the dense-motion production shape: 35.9 -> 11.8 ms per 128-frame
+    chunk pair (the round-3 masked-reduction kernel was itself the
+    round-3 win over XLA's 44.8 ms).
     """
     tile = fy_ref.shape[2]
     i = pl.program_id(1)
@@ -125,14 +131,12 @@ def _smallc_kernel(fy_ref, fx_ref, src_ref, out_ref, *, H: int, W: int,
     rows = jnp.dot(ty.astype(src_ref.dtype), src_ref[0],
                    preferred_element_type=jnp.float32,
                    precision=precision)                       # [tile, W*C]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, W * C), 1)
-    lane_w = (lane // C).astype(fx.dtype)
-    tx = jnp.maximum(0.0, 1.0 - jnp.abs(fx[:, None] - lane_w))
-    prod = tx * rows                                          # [tile, W*C]
-    lane_c = lane % C
-    cols = [jnp.sum(jnp.where(lane_c == c, prod, 0.0), axis=1)
-            for c in range(C)]
-    out_ref[0] = jnp.stack(cols, axis=1).astype(out_ref.dtype)
+    lane_w = lanew_ref[0]                                     # [W*C] f32
+    tx = jnp.maximum(0.0, 1.0 - jnp.abs(fx[:, None] - lane_w[None, :]))
+    prod = (tx * rows).astype(src_ref.dtype)                  # [tile, W*C]
+    out_ref[0] = jnp.dot(prod, e_ref[:],
+                         preferred_element_type=jnp.float32,
+                         precision=precision).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("align_corners", "tile", "exact"))
@@ -179,6 +183,12 @@ def grid_sample_smallc_pallas(image: jnp.ndarray, grid: jnp.ndarray,
     kernel = functools.partial(_smallc_kernel, H=H, W=W, C=C,
                                precision=precision)
     group = B // Bi
+    # hoisted per-lane constants: the column coordinate each lane carries
+    # (lane // C without the in-kernel integer division) and the channel
+    # one-hot selector that turns the x-tent reduce into an MXU dot
+    lane_w = (jnp.arange(W * C, dtype=jnp.float32) // C).reshape(1, W * C)
+    e_sel = (jnp.arange(W * C)[:, None] % C
+             == jnp.arange(C)[None, :]).astype(image.dtype)
     out = pl.pallas_call(
         kernel,
         grid=(B, n_tiles),
@@ -187,14 +197,18 @@ def grid_sample_smallc_pallas(image: jnp.ndarray, grid: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_tiles, tile), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W * C), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H, W * C), lambda b, i: (b // group, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W * C, C), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, P + pad, C), image.dtype),
     )(fy.reshape(B, n_tiles, tile), fx.reshape(B, n_tiles, tile),
-      image.reshape(Bi, H, W * C))
+      lane_w, image.reshape(Bi, H, W * C), e_sel)
     return out[:, :P].reshape(B, Ho, Wo, C)
 
 

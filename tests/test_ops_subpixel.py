@@ -65,6 +65,30 @@ def test_conv_s2d_equals_literal():
                                    atol=2e-5, rtol=1e-5)
 
 
+def test_conv_s2d_strided_equals_literal():
+    """Implicit-s2d stride-b phase-expanded conv == literal SAME conv (the
+    generator final-conv path; non-square kernels and odd channel counts
+    included)."""
+    from eamm_tpu.ops.subpixel import conv_s2d_strided
+    rng = np.random.RandomState(4)
+    for B, H, W, Ci, Co, kh, kw, blk in [(2, 16, 16, 5, 3, 7, 7, 4),
+                                         (1, 8, 12, 4, 2, 3, 3, 2),
+                                         (1, 16, 16, 64, 3, 7, 7, 4),
+                                         (2, 12, 8, 3, 1, 5, 3, 4),
+                                         (1, 16, 16, 6, 3, 7, 5, 8)]:
+        x = jnp.asarray(rng.randn(B, H, W, Ci).astype(np.float32))
+        w = jnp.asarray(0.1 * rng.randn(kh, kw, Ci, Co).astype(np.float32))
+        dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        want = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1),
+            padding=((kh // 2,) * 2, (kw // 2,) * 2), dimension_numbers=dn)
+        got = conv_s2d_strided(x, w, block=blk)
+        assert got.shape == want.shape == (B, H, W, Co)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-5)
+
+
 def test_upblock_eval_matches_train_form():
     """The eval-mode UpBlock (folded) equals the literal computation with
     the same params; the param tree keeps the conv/kernel+bias layout."""
