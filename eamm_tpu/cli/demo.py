@@ -82,6 +82,17 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--bf16", action="store_true",
                         help="run the generator decode in bfloat16 "
                              "(visually lossless; keypoint path stays f32)")
+    parser.add_argument("--segment_frames", type=int, default=0,
+                        help="unbounded streaming: process the clip in "
+                             "fixed chunks of this many frames (one "
+                             "compiled program pair for ANY clip length, "
+                             "O(chunk) device memory); 0 = whole-clip "
+                             "programs")
+    parser.add_argument("--stream_policy_frames", type=int, default=384,
+                        help="with --segment_frames: clips at most this "
+                             "many frames keep the ~2x-faster whole-clip "
+                             "programs; longer clips take the chunk "
+                             "programs (0 = always chunk)")
     return parser
 
 
@@ -237,6 +248,9 @@ def main(argv=None):
                               check_add=opt.check_add,
                               transfer_format=opt.transfer_format,
                               overlap_segments=max(1, opt.overlap_segments),
+                              segment_frames=opt.segment_frames or None,
+                              stream_policy_frames=(
+                                  opt.stream_policy_frames or None),
                               compute_dtype=(jnp.bfloat16 if opt.bf16
                                              else jnp.float32))
     if opt.checkpoint is None:

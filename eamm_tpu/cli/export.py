@@ -38,6 +38,16 @@ def build_parser() -> ArgumentParser:
                         "deliver the clip in N in-order segments (early "
                         "frames while the chip renders the tail); each "
                         "--frames bucket must divide into N render chunks")
+    p.add_argument("--unbounded_frames", type=int, default=0,
+                   help="also export unbounded-streaming chunk programs at "
+                        "this chunk size (frames): ONE frozen program set "
+                        "serves ANY clip length with O(chunk) device "
+                        "memory; clips longer than --stream_policy_frames "
+                        "(or the largest --frames bucket) route through it")
+    p.add_argument("--stream_policy_frames", type=int, default=None,
+                   help="length policy recorded in the artifact (see "
+                        "--unbounded_frames); default: the largest "
+                        "--frames bucket")
     p.add_argument("--emo_type", default="linear_3",
                    help="emotion head for the emotional programs "
                         "(demo --type, ref:demo.py:549)")
@@ -64,7 +74,8 @@ def main(argv=None):
         transfer_format=opt.transfer_format,
         compute_dtype=jnp.bfloat16 if opt.compute_dtype == "bfloat16"
         else jnp.float32,
-        pallas_warp=pallas)
+        pallas_warp=pallas,
+        stream_policy_frames=opt.stream_policy_frames)
     pipe = EammPipeline.from_torch_checkpoints(
         config, opt.checkpoint, opt.audio_checkpoint, opt.emo_checkpoint,
         options=options)
@@ -72,7 +83,8 @@ def main(argv=None):
         pipe, opt.out, batch=opt.batch, frame_buckets=tuple(opt.frames),
         platforms=tuple(opt.platforms) if opt.platforms else None,
         emotional=opt.emotional, emo_frame_buckets=tuple(opt.emo_frames),
-        stream_segments=opt.stream_segments)
+        stream_segments=opt.stream_segments,
+        unbounded_frames=opt.unbounded_frames)
     print(json.dumps(meta))
 
 

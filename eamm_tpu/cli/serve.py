@@ -41,6 +41,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--overlap_segments", type=int, default=8)
     p.add_argument("--frame_chunk", type=int, default=32)
     p.add_argument("--time_bucket", type=int, default=32)
+    p.add_argument("--segment_frames", type=int, default=128,
+                   help="unbounded-streaming chunk size (frames): long "
+                        "clips render through ONE compiled chunk-program "
+                        "pair — any length, zero per-length compiles, "
+                        "O(chunk) device memory.  0 disables (every clip "
+                        "compiles a whole-clip bucket).  Must be a "
+                        "multiple of --frame_chunk")
+    p.add_argument("--stream_policy_frames", type=int, default=384,
+                   help="length policy: clips at most this many frames "
+                        "(~15 s) keep the ~2x-faster whole-clip bucketed "
+                        "programs; longer clips take the unbounded chunk "
+                        "programs and dispatch as singletons.  0 = every "
+                        "clip chunks")
     p.add_argument("--f32", action="store_true",
                    help="disable the default bfloat16 compute")
     p.add_argument("--warmup_seconds", type=float, default=0.0,
@@ -79,6 +92,8 @@ def main(argv=None, stop_event=None, ready=None):
             transfer_format=opt.transfer_format,
             overlap_segments=max(1, opt.overlap_segments),
             frame_chunk=opt.frame_chunk, time_bucket=opt.time_bucket,
+            segment_frames=opt.segment_frames or None,
+            stream_policy_frames=opt.stream_policy_frames or None,
             compute_dtype=(jnp.float32 if opt.f32 else jnp.bfloat16))
         pipe = EammPipeline.from_torch_checkpoints(
             load_config(opt.config), opt.checkpoint, opt.audio_checkpoint,
@@ -98,6 +113,16 @@ def main(argv=None, stop_event=None, ready=None):
         server.render(src, wav, pose)
         for _ in server.submit_stream(src, wav, pose):
             pass
+        sf = getattr(pipe.options, "segment_frames", None)
+        if sf:
+            # compile the unbounded chunk-program pair too: one clip just
+            # past the length policy (frames are 40 ms each); afterwards
+            # ANY clip length serves with zero new compiles
+            pol = getattr(pipe.options, "stream_policy_frames", None) or 0
+            long_wav = np.zeros(int(16000 * (pol + sf) * 0.040) + 16000,
+                                np.float32)
+            for _ in server.submit_stream(src, long_wav, pose):
+                pass
         server.reset_stats()
 
     front = HttpRenderFront(server, host=opt.host, port=opt.port)

@@ -70,7 +70,8 @@ def export_render_artifact(pipeline, path: str, batch: int = 1,
                            frame_buckets=(128,), platforms=None,
                            emotional: bool = False,
                            emo_frame_buckets=(32,),
-                           stream_segments: int = 0) -> dict:
+                           stream_segments: int = 0,
+                           unbounded_frames: int = 0) -> dict:
     """Export ``pipeline``'s batched render program + weights to ``path``.
 
     batch: identity-batch size N of the exported program.
@@ -97,6 +98,19 @@ def export_render_artifact(pipeline, path: str, batch: int = 1,
       time-to-first-frame story, frozen (ref: the reference writes the
       whole mp4 at the end, ref:demo.py:477-515).  Every frame bucket must
       divide into ``stream_segments`` chunk-aligned segments.
+    unbounded_frames: when > 0, additionally export the UNBOUNDED streaming
+      chunk programs at this chunk size K (a multiple of the pipeline's
+      frame_chunk): a prelude (source-only work, run once per clip), a
+      first/next kp-chunk pair that threads the recurrent state (LSTM
+      carry, one-euro filters, first-frame kp) between dispatches, and a
+      K-frame render-segment program.  ONE frozen program set then serves
+      ANY clip length with O(K) device memory and zero compiles —
+      ``RenderArtifact.render_stream_unbounded`` drives it, and
+      ``ArtifactPipeline`` routes clips longer than the artifact's
+      ``stream_policy_frames`` (or its largest whole-clip bucket) through
+      it automatically.  The live-pipeline equivalent is
+      ``PipelineOptions.segment_frames``; the reference buffers the whole
+      clip and degrades linearly with length (ref:demo.py:212-281,477-515).
 
     Returns the meta dict written into the artifact.
     """
@@ -132,6 +146,9 @@ def export_render_artifact(pipeline, path: str, batch: int = 1,
                     f"frame bucket {t} does not divide into "
                     f"{stream_segments} segments of whole render chunks "
                     f"(chunk {o.frame_chunk})")
+    if unbounded_frames and unbounded_frames % o.frame_chunk:
+        raise ValueError(f"unbounded_frames {unbounded_frames} is not a "
+                         f"multiple of the render chunk {o.frame_chunk}")
 
     vars_np = _flatten_vars(pipeline.vars)
     meta = {
@@ -154,15 +171,17 @@ def export_render_artifact(pipeline, path: str, batch: int = 1,
             "emo_frame_buckets": [int(u) for u in emo_frame_buckets],
             "emo_type": o.emo_type,
             # the live yuv420 (lossy-delivery) path uploads emotion frames
-            # as uint8 — 4x fewer host->device bytes on the tunnel
-            # (pipeline._prepare_full_render_args); the frozen program is
-            # traced with the same dtype so artifact rendering matches the
-            # live path bit for bit
-            "frames_dtype": "uint8"
+            # as PACKED yuv420 planes ([U, 384, 256] uint8, 12 bpp — half
+            # the uint8-RGB bytes on the tunnel, round 5); the frozen
+            # program is traced with the same format so artifact rendering
+            # matches the live path bit for bit.  Legacy "uint8" artifacts
+            # (rank-4 RGB) keep loading.
+            "frames_dtype": "yuv420"
             if o.transfer_format == "yuv420" else "float32",
             "inputs": "source [1,256,256,3] f32; mfcc_windows [T,28,12] "
-                      "f32; pose [T,6] f32; emotion_frames [U,256,256,3] "
-                      "of frames_dtype (mouth-masked, aligned); "
+                      "f32; pose [T,6] f32; emotion_frames "
+                      "[U,384,256] u8 packed yuv420 or [U,256,256,3] of "
+                      "frames_dtype (mouth-masked, aligned); "
                       "frame_index [T] i32",
         } if emotional else None,
         "streaming": {
@@ -171,6 +190,19 @@ def export_render_artifact(pipeline, path: str, batch: int = 1,
             "frame_buckets": [int(t) for t in frame_buckets],
             "emotional": bool(emotional),
         } if stream_segments else None,
+        "unbounded": {
+            "segment_frames": int(unbounded_frames),
+            "fetch_streams": int(max(1, o.fetch_streams)),
+            "emotional": bool(emotional),
+            "emo_frame_buckets": [int(u) for u in emo_frame_buckets]
+            if emotional else [],
+            "frames_dtype": "yuv420"
+            if o.transfer_format == "yuv420" else "float32",
+            # length policy for ArtifactPipeline: clips at most this many
+            # frames keep the whole-clip bucketed programs (when a bucket
+            # fits), longer ones take the chunk programs
+            "stream_policy_frames": o.stream_policy_frames,
+        } if unbounded_frames else None,
     }
 
     def make_args(t):
@@ -179,7 +211,12 @@ def export_render_artifact(pipeline, path: str, batch: int = 1,
                 np.zeros((batch, t, 28, 12), np.float32),
                 np.zeros((batch, t, 6), np.float32))
 
-    emo_dtype = np.uint8 if o.transfer_format == "yuv420" else np.float32
+    yuv_emo = o.transfer_format == "yuv420"
+    emo_dtype = np.uint8 if yuv_emo else np.float32
+
+    def emo_shape(u):
+        # yuv pipelines consume PACKED yuv420 planes (12 bpp); rgb keeps f32
+        return (u, 384, 256) if yuv_emo else (u, 256, 256, 3)
     # Write to a temp file and rename into place once every program has
     # exported: a failure mid-way (e.g. a later bucket's lowering error)
     # must not leave a valid-looking but incomplete artifact at ``path``
@@ -205,7 +242,7 @@ def export_render_artifact(pipeline, path: str, batch: int = 1,
                             np.zeros((1, 256, 256, 3), np.float32),
                             np.zeros((t, 28, 12), np.float32),
                             np.zeros((t, 6), np.float32),
-                            np.zeros((u, 256, 256, 3), emo_dtype),
+                            np.zeros(emo_shape(u), emo_dtype),
                             np.zeros((t,), np.int32))
                         z.writestr(f"programs/emo_{t}x{u}.bin",
                                    exp.serialize())
@@ -245,7 +282,7 @@ def export_render_artifact(pipeline, path: str, batch: int = 1,
                     if emotional:
                         for u in emo_frame_buckets:
                             ef_s = jax.ShapeDtypeStruct(
-                                (u, 256, 256, 3), emo_dtype)
+                                emo_shape(u), emo_dtype)
                             fi_s = jax.ShapeDtypeStruct((t,), jnp.int32)
                             exp = jex.export(jax.jit(kp_emo),
                                              platforms=platforms)(
@@ -253,6 +290,68 @@ def export_render_artifact(pipeline, path: str, batch: int = 1,
                                 fi_s)
                             z.writestr(f"programs/kp_emo_{t}x{u}.bin",
                                        exp.serialize())
+            if unbounded_frames:
+                from eamm_tpu.ops.mfcc import chunk_samples_len
+                K = int(unbounded_frames)
+                src_s = jax.ShapeDtypeStruct((1, 256, 256, 3), jnp.float32)
+                exp = jex.export(jax.jit(pipeline._stream_prelude_impl),
+                                 platforms=platforms)(pipeline.vars, src_s)
+                z.writestr("programs/u_prelude.bin", exp.serialize())
+                kp_src_s, kps0_s, imgf_s, feats_s = jax.eval_shape(
+                    pipeline._stream_prelude_impl, pipeline.vars, src_s)
+                samp_s = jax.ShapeDtypeStruct((chunk_samples_len(K),),
+                                              jnp.float32)
+                prev_s = jax.ShapeDtypeStruct((), jnp.float32)
+                pos_s = jax.ShapeDtypeStruct((K, 6), jnp.float32)
+                fidx_s = jax.ShapeDtypeStruct((K,), jnp.int32)
+
+                def u_chunk(first, add_emo):
+                    # first chunks build the carry in-program; later chunks
+                    # take it as an input — two exported programs per path
+                    if first:
+                        def fn(v, kp_src, imgf, samples, prev, pose, emo,
+                               fidx):
+                            return pipeline._stream_kp_chunk_impl(
+                                v, kp_src, imgf, samples, prev, pose, emo,
+                                fidx, None, first=True, add_emo=add_emo)
+                    else:
+                        def fn(v, kp_src, imgf, samples, prev, pose, emo,
+                               fidx, carry):
+                            return pipeline._stream_kp_chunk_impl(
+                                v, kp_src, imgf, samples, prev, pose, emo,
+                                fidx, carry, first=False, add_emo=add_emo)
+                    return fn
+
+                def export_chunk_pair(tag, emo_s, add_emo):
+                    f_first = u_chunk(True, add_emo)
+                    args = (pipeline.vars, kp_src_s, imgf_s, samp_s, prev_s,
+                            pos_s, emo_s, fidx_s)
+                    exp = jex.export(jax.jit(f_first),
+                                     platforms=platforms)(*args)
+                    z.writestr(f"programs/u_kp_{tag}first.bin",
+                               exp.serialize())
+                    kv_s, kj_s, carry_s = jax.eval_shape(f_first, *args)
+                    exp = jex.export(jax.jit(u_chunk(False, add_emo)),
+                                     platforms=platforms)(*args, carry_s)
+                    z.writestr(f"programs/u_kp_{tag}next.bin",
+                               exp.serialize())
+                    return kv_s, kj_s
+
+                neutral_emo_s = jax.ShapeDtypeStruct((1, 256, 256, 3),
+                                                     jnp.float32)
+                kv_s, kj_s = export_chunk_pair("", neutral_emo_s, False)
+                if emotional:
+                    for u in emo_frame_buckets:
+                        export_chunk_pair(
+                            f"emo{u}_",
+                            jax.ShapeDtypeStruct(emo_shape(u),
+                                                 emo_dtype), True)
+                useg = functools.partial(pipeline._render_segment_impl,
+                                         seg_frames=K)
+                exp = jex.export(jax.jit(useg), platforms=platforms)(
+                    pipeline.vars, src_s, feats_s, kps0_s, kv_s, kj_s,
+                    jax.ShapeDtypeStruct((), jnp.int32))
+                z.writestr("programs/u_seg.bin", exp.serialize())
         os.replace(tmp, path)
     finally:
         if os.path.exists(tmp):
@@ -268,13 +367,17 @@ class RenderArtifact:
 
     def __init__(self, meta: dict, programs: dict, variables: dict,
                  emo_programs: dict | None = None,
-                 stream_programs: dict | None = None):
+                 stream_programs: dict | None = None,
+                 unbounded_programs: dict | None = None):
         self.meta = meta
         self._programs = programs          # {padded_frames: Exported}
         self._emo_programs = emo_programs or {}   # {(T, U): Exported}
         # {"kp": {T: Exported}, "seg": {T: Exported},
         #  "kp_emo": {(T, U): Exported}}
         self._stream = stream_programs or {}
+        # {"prelude", "kp_first", "kp_next", "seg",
+        #  ("kp_emo_first", U), ("kp_emo_next", U)} -> Exported
+        self._unbounded = unbounded_programs or {}
         self.vars = variables
         self.batch = int(meta["batch"])
         self.frame_buckets = sorted(int(t) for t in meta["frame_buckets"])
@@ -314,8 +417,23 @@ class RenderArtifact:
                             stream_programs["kp_emo"][(int(t), int(u))] = \
                                 jex.deserialize(
                                     z.read(f"programs/kp_emo_{t}x{u}.bin"))
+            unbounded_programs = {}
+            ub = meta.get("unbounded")
+            if ub:
+                for key, name in (("prelude", "u_prelude"),
+                                  ("kp_first", "u_kp_first"),
+                                  ("kp_next", "u_kp_next"),
+                                  ("seg", "u_seg")):
+                    unbounded_programs[key] = jex.deserialize(
+                        z.read(f"programs/{name}.bin"))
+                if ub["emotional"]:
+                    for u in ub["emo_frame_buckets"]:
+                        for key in ("first", "next"):
+                            unbounded_programs[(f"kp_emo_{key}", int(u))] = \
+                                jex.deserialize(z.read(
+                                    f"programs/u_kp_emo{u}_{key}.bin"))
         return cls(meta, programs, _unflatten_vars(flat), emo_programs,
-                   stream_programs)
+                   stream_programs, unbounded_programs)
 
     def bucket_for(self, frames: int) -> int:
         for t in self.frame_buckets:
@@ -381,16 +499,31 @@ class RenderArtifact:
                              f"exported bucket ({ubuckets[-1]})")
         frame_index = (np.arange(tp) % u).astype(np.int32)
         ef = np.asarray(emotion_frames, np.float32)[:u]
-        if self.meta["emotional"].get("frames_dtype") == "uint8":
-            # yuv420 artifacts trace the program with uint8 emotion frames
-            # (the live lossy-delivery path's 4x-smaller upload); the
-            # program rescales internally
+        return (self._emo_frames_padded(ef, u, up,
+                                        self.meta["emotional"]
+                                        .get("frames_dtype")),
+                frame_index, up)
+
+    @staticmethod
+    def _emo_frames_padded(ef, u: int, up: int, frames_dtype):
+        """Pad unique emotion frames to the exported bucket in the traced
+        upload format: "yuv420" = packed planes [Up, 384, 256] uint8 (the
+        live lossy-delivery path's 12 bpp upload), "uint8" = legacy rank-4
+        RGB uint8, else float32 RGB."""
+        if frames_dtype == "yuv420":
+            from eamm_tpu.ops.colorspace import pack_yuv420_np
+            frames = np.zeros((up, 384, 256), np.uint8)
+            # neutral gray padding rows are never indexed (frame_index
+            # cycles the true u frames)
+            frames[:u] = pack_yuv420_np(ef)
+            return frames
+        if frames_dtype == "uint8":
             frames = np.zeros((up, 256, 256, 3), np.uint8)
             frames[:u] = np.clip(np.rint(ef * 255.0), 0, 255)
-        else:
-            frames = np.zeros((up, 256, 256, 3), np.float32)
-            frames[:u] = ef
-        return frames, frame_index, up
+            return frames
+        frames = np.zeros((up, 256, 256, 3), np.float32)
+        frames[:u] = ef
+        return frames
 
     def render_stream(self, source, waveform, pose, emotion_frames=None):
         """Streaming render from the frozen programs: yields
@@ -447,6 +580,98 @@ class RenderArtifact:
                                  fetched[ny + 1][:keep])
             else:
                 yield i * tseg, np.concatenate(fetched, axis=0)[:keep]
+
+    def render_stream_unbounded(self, source, waveform, pose,
+                                emotion_frames=None):
+        """Unbounded streaming from the frozen chunk programs: yields
+        ``(start_frame, payload)`` for a clip of ANY length — one prelude
+        dispatch, then a kp-chunk + render-segment dispatch pair per K
+        frames with the recurrent state threaded between calls.  Zero
+        compiles (the programs are frozen), O(K) device memory, host
+        memory bounded by the two in-flight segments.  Mirrors the live
+        ``EammPipeline._render_stream_unbounded`` driver; requires an
+        ``unbounded_frames`` export."""
+        ub = self.meta.get("unbounded")
+        if not ub:
+            raise ValueError("artifact was exported without unbounded "
+                             "streaming programs (export with "
+                             "unbounded_frames=K)")
+        import math
+        from eamm_tpu.ops.mfcc import (chunk_samples_len, chunk_sample_start,
+                                       padded_buffer_len, PAD_SAMPLES,
+                                       num_windows_for_samples)
+        from eamm_tpu.infer.pipeline import prepare_pose_np
+        K = int(ub["segment_frames"])
+        wav = np.asarray(waveform, np.float32).reshape(-1)
+        T = num_windows_for_samples(wav.shape[0])
+        n_chunks = max(1, math.ceil(T / K))
+        buf_len = max(padded_buffer_len(n_chunks * K),
+                      2 * PAD_SAMPLES + wav.shape[0])
+        buf = np.zeros(buf_len, np.float32)
+        buf[PAD_SAMPLES:PAD_SAMPLES + wav.shape[0]] = wav
+        pose_full = np.zeros((n_chunks * K, 6), np.float32)
+        pose_full[:T] = prepare_pose_np(
+            np.asarray(pose, np.float32), T,
+            smooth=self.meta.get("smooth_pose", True))
+        src = np.asarray(source, np.float32).reshape(1, 256, 256, 3)
+        kp_src, kp_s0, imgf, feats = self._unbounded["prelude"].call(
+            self.vars, src)
+
+        fidx_mod = 1
+        emo_arg = np.zeros((1, 256, 256, 3), np.float32)
+        first_key, next_key = "kp_first", "kp_next"
+        if emotion_frames is not None:
+            if not ub["emotional"]:
+                raise ValueError("artifact was exported without emotional "
+                                 "unbounded programs")
+            ef = np.asarray(emotion_frames, np.float32)
+            u = ef.shape[0]
+            ubuckets = sorted(ub["emo_frame_buckets"])
+            up = next((b for b in ubuckets if u <= b), None)
+            if up is None:
+                raise ValueError(f"{u} emotion frames exceed the largest "
+                                 f"exported bucket ({ubuckets[-1]})")
+            emo_arg = self._emo_frames_padded(ef, u, up,
+                                              ub.get("frames_dtype"))
+            fidx_mod = u
+            first_key, next_key = ("kp_emo_first", up), ("kp_emo_next", up)
+
+        yuv = self.meta["transfer_format"] == "yuv420"
+        ns = int(ub["fetch_streams"])
+        ny = max(1, (2 * ns) // 3) if yuv else ns
+        carry = None
+        pending = []
+        for c in range(n_chunks):
+            s0 = chunk_sample_start(c * K)
+            samples = np.ascontiguousarray(buf[s0:s0 + chunk_samples_len(K)])
+            prev = np.float32(buf[s0 - 1] if s0 else 0.0)
+            pose_c = np.ascontiguousarray(pose_full[c * K:(c + 1) * K])
+            fidx = (np.arange(c * K, (c + 1) * K) % fidx_mod).astype(np.int32)
+            if c == 0:
+                kv, kj, carry = self._unbounded[first_key].call(
+                    self.vars, kp_src, imgf, samples, prev, pose_c, emo_arg,
+                    fidx)
+            else:
+                kv, kj, carry = self._unbounded[next_key].call(
+                    self.vars, kp_src, imgf, samples, prev, pose_c, emo_arg,
+                    fidx, carry)
+            parts = self._unbounded["seg"].call(self.vars, src, feats,
+                                                kp_s0, kv, kj, np.int32(0))
+            pending.append((c * K, min(K, T - c * K), list(parts)))
+            if len(pending) > 2:
+                yield self._fetch_unbounded_item(pending.pop(0), ny, yuv)
+        for item in pending:
+            yield self._fetch_unbounded_item(item, ny, yuv)
+
+    @staticmethod
+    def _fetch_unbounded_item(item, ny, yuv):
+        from eamm_tpu.utils.transfer import fetch_parallel
+        start, keep, parts = item
+        fetched = fetch_parallel(parts)
+        if yuv:
+            y = np.concatenate(fetched[:ny], axis=0)[:keep]
+            return start, (y, fetched[ny][:keep], fetched[ny + 1][:keep])
+        return start, np.concatenate(fetched, axis=0)[:keep]
 
     def _prepare_single(self, waveform, pose):
         from eamm_tpu.infer.pipeline import (_jit_audio_windows,
@@ -558,6 +783,24 @@ class ArtifactPipeline:
             transfer_format=artifact.meta["transfer_format"],
             smooth_pose=bool(artifact.meta.get("smooth_pose", True)))
 
+    def use_unbounded(self, frames: int) -> bool:
+        """Length policy (the ``RenderServer`` singleton hook): clips
+        longer than the artifact's ``stream_policy_frames`` — or than its
+        largest whole-clip bucket — render through the frozen unbounded
+        chunk programs when those were exported."""
+        ub = self.artifact.meta.get("unbounded")
+        if not ub:
+            return False
+        max_bucket = max(self.artifact.frame_buckets)
+        pol = ub.get("stream_policy_frames")
+        return frames > min(max_bucket,
+                            max_bucket if pol is None else int(pol))
+
+    def _frames_for(self, waveform) -> int:
+        from eamm_tpu.ops.mfcc import num_windows_for_samples
+        return num_windows_for_samples(
+            np.asarray(waveform).reshape(-1).shape[0])
+
     # --- coalesced batches (the server pads groups to max_batch) --------
 
     def render_batch_uint8(self, sources, waveforms, poses):
@@ -573,6 +816,13 @@ class ArtifactPipeline:
         if self.options.transfer_format != "rgb":
             raise ValueError("render_uint8 requires an rgb-format artifact")
         add_emo = self.options.add_emo if add_emo is None else add_emo
+        if self.use_unbounded(self._frames_for(waveform)):
+            if add_emo and transformed_video is None:
+                raise ValueError("add_emo requires transformed_video frames")
+            return np.concatenate(
+                [p for _, p in self.artifact.render_stream_unbounded(
+                    source, waveform, pose,
+                    transformed_video if add_emo else None)], axis=0)
         if add_emo:
             if transformed_video is None:
                 raise ValueError("add_emo requires transformed_video frames")
@@ -587,6 +837,15 @@ class ArtifactPipeline:
             raise ValueError("render_yuv420 requires a yuv420-format "
                              "artifact")
         add_emo = self.options.add_emo if add_emo is None else add_emo
+        if self.use_unbounded(self._frames_for(waveform)):
+            if add_emo and transformed_video is None:
+                raise ValueError("add_emo requires transformed_video frames")
+            parts = [p for _, p in self.artifact.render_stream_unbounded(
+                source, waveform, pose,
+                transformed_video if add_emo else None)]
+            return (np.concatenate([y for y, _, _ in parts], axis=0),
+                    np.concatenate([u for _, u, _ in parts], axis=0),
+                    np.concatenate([v for _, _, v in parts], axis=0))
         if add_emo:
             if transformed_video is None:
                 raise ValueError("add_emo requires transformed_video frames")
@@ -600,9 +859,17 @@ class ArtifactPipeline:
     def render_stream(self, source, waveform, pose, transformed_video=None,
                       add_emo=None):
         """Segment streaming via the frozen kp-stage + segment programs
-        when exported (``stream_segments``); single whole-clip segment
-        otherwise."""
+        when exported (``stream_segments``); unbounded chunk streaming for
+        clips past the length policy (``unbounded_frames`` exports);
+        single whole-clip segment otherwise."""
         add_emo = self.options.add_emo if add_emo is None else add_emo
+        if self.use_unbounded(self._frames_for(waveform)):
+            if add_emo and transformed_video is None:
+                raise ValueError("add_emo requires transformed_video frames")
+            yield from self.artifact.render_stream_unbounded(
+                source, waveform, pose,
+                transformed_video if add_emo else None)
+            return
         stream = self.artifact.meta.get("streaming")
         if stream and (not add_emo or stream["emotional"]):
             if add_emo and transformed_video is None:

@@ -34,7 +34,8 @@ from eamm_tpu.ops.mfcc import (audio_to_mfcc_windows, num_windows_for_samples,
                                min_samples_for_windows, mfcc_window_chunk)
 from eamm_tpu.ops.filters import one_euro_filter, one_euro_filter_np
 from eamm_tpu.ops.motion import normalize_kp, convex_hull_area
-from eamm_tpu.ops.colorspace import rgb_to_yuv420, yuv420_to_rgb
+from eamm_tpu.ops.colorspace import (rgb_to_yuv420, yuv420_to_rgb,
+                                     pack_yuv420_np, unpack_yuv420)
 from eamm_tpu.utils.transfer import fetch_parallel
 
 
@@ -77,6 +78,18 @@ class PipelineOptions:
     # multiple of frame_chunk.  The reference renders frame-at-a-time into
     # a whole-clip buffer and cannot stream at all (ref:demo.py:212-281).
     segment_frames: int | None = None
+    # Length policy for the chunk programs: with BOTH segment_frames and
+    # this set, clips of at most this many frames keep the whole-clip
+    # bucketed programs (~2x faster on short clips: one kp dispatch + S
+    # segment dispatches, measured stream_60s_vs_10s_same_programs ~2 in
+    # BENCH_r04) while longer clips switch to the unbounded chunk programs
+    # (ONE compiled program pair for ANY length, O(chunk) device memory).
+    # The policy applies to render_stream AND the whole-clip renderers
+    # (render_uint8 / render_yuv420 assemble long clips from the chunk
+    # stream), so a server never compiles a per-length whole-clip bucket
+    # for a long request.  segment_frames WITHOUT a policy keeps the
+    # historical meaning: every render_stream call takes the chunk path.
+    stream_policy_frames: int | None = None
 
 
 _EMO_HEAD = {"linear_3": "linear", "linear_4": "linear_4",
@@ -99,7 +112,9 @@ class EmotionHandle:
     contain no emotion pixels at all.  Pass the handle anywhere
     ``transformed_video`` is accepted.
     """
-    frames: jax.Array            # [U, 256, 256, 3] device (upload format)
+    frames: jax.Array            # device, in upload format: [U, 256, 256, 3]
+                                 # f32 (rgb pipelines) or packed yuv420
+                                 # planes [U, 384, 256] uint8 (yuv420)
     feats: jax.Array | None      # [Ub, 512] f32 trunk features (linear heads)
     n_frames: int                # true U (feats rows past this are padding)
 
@@ -284,7 +299,10 @@ class EammPipeline:
         o = self.options
         emo_model = self.models["emo_detector"]
         if frames.dtype == jnp.uint8:
-            frames = frames.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+            if frames.ndim == 3:             # packed yuv420 planes
+                frames = unpack_yuv420(frames)
+            else:
+                frames = frames.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
         dt = o.compute_dtype
         evars = variables["emo_detector"]
         if dt != jnp.float32:
@@ -308,7 +326,7 @@ class EammPipeline:
         frames = np.asarray(transformed_video, np.float32)
         U = frames.shape[0]
         if o.transfer_format == "yuv420":
-            up = np.clip(np.rint(frames * 255.0), 0, 255).astype(np.uint8)
+            up = pack_yuv420_np(frames)      # 12 bpp packed planes
         else:
             up = frames
         dev = jnp.asarray(up)
@@ -392,11 +410,16 @@ class EammPipeline:
         the audio half computes)."""
         o = self.options
         if not emo_from_feats and transformed_frames.dtype == jnp.uint8:
-            # production upload format: the host ships emotion frames as
-            # uint8 (4x fewer bytes over the ~30 MB/s host->device link)
-            # and the program rescales on device
-            transformed_frames = transformed_frames.astype(jnp.float32) \
-                * jnp.float32(1.0 / 255.0)
+            # production upload formats: packed yuv420 planes (rank 3,
+            # 12 bpp — HALF the uint8-RGB bytes over the ~30 MB/s
+            # host->device link; same loss the yuv420 delivery path
+            # accepts) or plain uint8 RGB; the program unpacks/rescales
+            # on device
+            if transformed_frames.ndim == 3:
+                transformed_frames = unpack_yuv420(transformed_frames)
+            else:
+                transformed_frames = transformed_frames.astype(jnp.float32) \
+                    * jnp.float32(1.0 / 255.0)
         if o.check_add:
             # diagnostic mode: audio kp frozen at the (unsmoothed) first
             # frame, only the emotion displacement animates
@@ -691,6 +714,17 @@ class EammPipeline:
         if add_emo:
             new_carry["emo_euro"] = emo_carry
         return kp_norm["value"], kp_norm["jacobian"], new_carry
+
+    def use_unbounded(self, frames: int) -> bool:
+        """Length policy: should a clip of ``frames`` delivered frames take
+        the unbounded chunk programs (True) or the whole-clip bucketed
+        programs (False)?  See ``PipelineOptions.stream_policy_frames``."""
+        o = self.options
+        if not o.segment_frames:
+            return False
+        if o.stream_policy_frames is None:
+            return True            # explicit segment_frames, no policy
+        return frames > o.stream_policy_frames
 
     def _render_stream_unbounded(self, source_image, waveform, all_pose,
                                  transformed_video, add_emo):
@@ -1116,6 +1150,16 @@ class EammPipeline:
         if o.transfer_format != "yuv420":
             raise ValueError("render_yuv420 requires transfer_format='yuv420'")
         add_emo = o.add_emo if add_emo is None else add_emo
+        T_clip = num_windows_for_samples(
+            np.asarray(waveform).reshape(-1).shape[0])
+        if self.use_unbounded(T_clip):
+            # long clip: assemble planes from the unbounded chunk stream
+            parts = [p for _, p in self._render_stream_unbounded(
+                source_image, waveform, all_pose, transformed_video,
+                add_emo)]
+            return (np.concatenate([y for y, _, _ in parts], axis=0),
+                    np.concatenate([u for _, u, _ in parts], axis=0),
+                    np.concatenate([v for _, _, v in parts], axis=0))
         T, args, emo_kw = self._prepare_full_render_args(
             source_image, waveform, all_pose, transformed_video, add_emo)
         if o.overlap_segments > 1:
@@ -1199,7 +1243,9 @@ class EammPipeline:
             raise ValueError("render_stream does not support adapt_scale "
                              "(its convex-hull scale is a host round trip)")
         add_emo = o.add_emo if add_emo is None else add_emo
-        if o.segment_frames:
+        T_clip = num_windows_for_samples(
+            np.asarray(waveform).reshape(-1).shape[0])
+        if self.use_unbounded(T_clip):
             yield from self._render_stream_unbounded(
                 source_image, waveform, all_pose, transformed_video, add_emo)
             return
@@ -1236,6 +1282,16 @@ class EammPipeline:
             frames = self._render_staged(source_image, waveform, all_pose,
                                          transformed_video, add_emo)
             return np.clip(np.round(frames * 255.0), 0, 255).astype(np.uint8)
+        T_clip = num_windows_for_samples(
+            np.asarray(waveform).reshape(-1).shape[0])
+        if self.use_unbounded(T_clip):
+            # long clip (stream_policy_frames): assemble from the unbounded
+            # chunk programs — zero new whole-clip compiles, O(chunk) device
+            # memory, host memory bounded by the clip itself
+            return np.concatenate(
+                [p for _, p in self._render_stream_unbounded(
+                    source_image, waveform, all_pose, transformed_video,
+                    add_emo)], axis=0)
         T, args, emo_kw = self._prepare_full_render_args(
             source_image, waveform, all_pose, transformed_video, add_emo)
         if o.overlap_segments > 1:
@@ -1297,10 +1353,11 @@ class EammPipeline:
                 # transfer streams during that compute (_dispatch_kp_stage).
                 frames = np.asarray(transformed_video, np.float32)[:Tp]
                 if o.transfer_format == "yuv420":
-                    # lossy delivery path: quantize the upload to uint8 too
-                    # (visually lossless; the bit-exact "rgb" path ships f32)
-                    frames = np.clip(np.rint(frames * 255.0), 0,
-                                     255).astype(np.uint8)
+                    # lossy delivery path: ship packed yuv420 planes
+                    # (12 bpp, half the uint8-RGB bytes — the cold
+                    # emotional render pays this upload per call; the
+                    # bit-exact "rgb" path ships f32)
+                    frames = pack_yuv420_np(frames)
                 emo_frames = frames
         else:
             emo_frames = jnp.zeros((1, 256, 256, 3), jnp.float32)

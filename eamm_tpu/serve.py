@@ -32,6 +32,15 @@ from concurrent.futures import Future
 import numpy as np
 
 
+def _is_long(pipeline, frames: int) -> bool:
+    """True when the pipeline's length policy routes a clip of ``frames``
+    through the unbounded chunk programs (``EammPipeline.use_unbounded``);
+    frozen ``ArtifactPipeline``s expose the same hook when their artifact
+    carries unbounded streaming programs."""
+    fn = getattr(pipeline, "use_unbounded", None)
+    return bool(fn(frames)) if fn is not None else False
+
+
 def _as_emotion_arg(transformed_video):
     """Emotion payload for a request: a prepared ``EmotionHandle`` passes
     through untouched (device-cached frames / trunk features — the
@@ -54,6 +63,7 @@ class _Request:
     t_enqueue: float
     transformed: object | None = None  # emotion frames or EmotionHandle
     stream_q: queue.Queue | None = None     # segment queue (submit_stream)
+    long: bool = False   # over the pipeline's stream_policy_frames length
 
     @property
     def emotional(self) -> bool:
@@ -61,9 +71,11 @@ class _Request:
 
     @property
     def singleton(self) -> bool:
-        """Dispatched alone: emotional (per-request trunk state) and
-        streaming (per-request delivery cadence) requests don't coalesce."""
-        return self.emotional or self.stream_q is not None
+        """Dispatched alone: emotional (per-request trunk state),
+        streaming (per-request delivery cadence), and long clips (they
+        render through the unbounded chunk programs — a coalesced batch
+        would compile a whole-clip bucket per length) don't coalesce."""
+        return self.emotional or self.stream_q is not None or self.long
 
 
 _STREAM_END = object()
@@ -119,7 +131,8 @@ class RenderServer:
                        np.asarray(waveform, np.float32),
                        np.asarray(pose, np.float32),
                        frames, Future(), time.monotonic(),
-                       _as_emotion_arg(transformed_video))
+                       _as_emotion_arg(transformed_video),
+                       long=_is_long(self.pipeline, frames))
         with self._lock:
             self._stats["requests"] += 1
         self._q.put(req)
@@ -270,17 +283,19 @@ class RenderServer:
             r.stream_q.put(_STREAM_END)
             self._finish([r], [count])      # future resolves to #segments
             return
-        if group[0].emotional:
+        if group[0].singleton:
+            # emotional (per-request trunk state) or long (renders through
+            # the unbounded chunk programs via the pipeline length policy)
             r = group[0]
             if yuv:
                 y, u, v = self.pipeline.render_yuv420(
                     r.source, r.waveform, r.pose,
-                    transformed_video=r.transformed, add_emo=True)
+                    transformed_video=r.transformed, add_emo=r.emotional)
                 result = (y[:r.frames], u[:r.frames], v[:r.frames])
             else:
                 frames = self.pipeline.render_uint8(
                     r.source, r.waveform, r.pose,
-                    transformed_video=r.transformed, add_emo=True)
+                    transformed_video=r.transformed, add_emo=r.emotional)
                 result = frames[:r.frames]
             self._finish([r], [result])
             return

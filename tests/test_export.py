@@ -136,8 +136,9 @@ def test_emotional_export_padded_emo_bucket(pipeline, emo_artifact_path):
 
 def test_yuv420_emotional_artifact_matches_live(pipeline, tmp_path):
     """yuv420 artifacts trace the emotional program with the live lossy
-    path's uint8 emotion-frame upload (4x fewer host->device bytes): the
-    frozen render is bitwise equal to the live render_yuv420(add_emo)."""
+    path's PACKED yuv420 emotion-frame upload (12 bpp — half the uint8-RGB
+    host->device bytes): the frozen render is bitwise equal to the live
+    render_yuv420(add_emo)."""
     yuv_pipe = EammPipeline(
         pipeline.config, pipeline.vars,
         options=PipelineOptions(frame_chunk=8, time_bucket=8,
@@ -146,7 +147,7 @@ def test_yuv420_emotional_artifact_matches_live(pipeline, tmp_path):
     meta = export_render_artifact(yuv_pipe, path, batch=1,
                                   frame_buckets=(8,), emotional=True,
                                   emo_frame_buckets=(4,))
-    assert meta["emotional"]["frames_dtype"] == "uint8"
+    assert meta["emotional"]["frames_dtype"] == "yuv420"
     art = RenderArtifact.load(path)
     rng = np.random.RandomState(9)
     src = rng.rand(256, 256, 3).astype(np.float32)
