@@ -303,7 +303,7 @@ def main():
                              ".jax_cache")
     full_default = ("1" if os.path.isdir(cache_dir)
                     and len(os.listdir(cache_dir)) > 100 else "0")
-    emo_fps = emo_cold_fps = emo_vs_neutral = None
+    emo_fps = emo_cold_fps = emo_vs_neutral = emo_cold_vs_neutral = None
     if os.environ.get("EAMM_BENCH_FULL", full_default) == "1":
         emo_frames = rng.rand(20, 256, 256, 3).astype(np.float32)
         # serving configuration: the emotion clip is fixed across requests,
@@ -336,6 +336,11 @@ def main():
         emo_cold_fps = T_e / min(rounds["ec"])
         ratios = sorted(n / e for n, e in zip(rounds["n"], rounds["eh"]))
         emo_vs_neutral = ratios[len(ratios) // 2]
+        # cold path ratio from the SAME interleaved rounds: how much of the
+        # per-call emotion upload + 256^2 trunk the split kp stage
+        # (_dispatch_kp_stage's overlapped upload) actually hides
+        ratios_c = sorted(n / e for n, e in zip(rounds["n"], rounds["ec"]))
+        emo_cold_vs_neutral = ratios_c[len(ratios_c) // 2]
 
     # Long-clip unbounded streaming (segment_frames chunk programs with the
     # recurrent state threaded between dispatches): a 60 s clip through
@@ -451,7 +456,9 @@ def main():
                    **({"emotional_frames_per_sec": round(emo_fps, 2),
                        "emotional_cold_frames_per_sec": round(emo_cold_fps, 2),
                        "emotional_vs_neutral_same_phase":
-                           round(emo_vs_neutral, 3)}
+                           round(emo_vs_neutral, 3),
+                       "emotional_cold_vs_neutral_same_phase":
+                           round(emo_cold_vs_neutral, 3)}
                       if emo_fps else {}),
                    **({"stream_60s_frames_per_sec": round(stream60_fps, 2),
                        "stream_60s_vs_10s_same_programs":

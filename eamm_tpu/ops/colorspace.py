@@ -43,6 +43,53 @@ def rgb_to_yuv420(pred: jnp.ndarray):
     return q(y), q(cb, 128.0), q(cr, 128.0)
 
 
+def pack_yuv420_np(frames: np.ndarray) -> np.ndarray:
+    """Host-side: [N, H, W, 3] float RGB in [0, 1] -> ONE packed uint8
+    plane array [N, 3H/2, W] (Y rows 0:H; U|V side by side in rows H:3H/2)
+    — the i420 framing at 12 bits/pixel, HALF the host->device bytes of
+    uint8 RGB.  Same BT.601 math and 2x2 chroma box filter as
+    :func:`rgb_to_yuv420`, so the loss equals what the lossy (yuv420)
+    delivery path already accepts."""
+    f = np.asarray(frames, np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = _KR * r + _KG * g + _KB * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+    N, H, W = y.shape
+    cb = cb.reshape(N, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
+    cr = cr.reshape(N, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
+
+    def q(x, offset=0.0):
+        return np.clip(np.round(x * 255.0 + offset), 0, 255).astype(np.uint8)
+
+    out = np.empty((N, H + H // 2, W), np.uint8)
+    out[:, :H] = q(y)
+    out[:, H:, :W // 2] = q(cb, 128.0)
+    out[:, H:, W // 2:] = q(cr, 128.0)
+    return out
+
+
+def unpack_yuv420(packed: jnp.ndarray) -> jnp.ndarray:
+    """Device-side inverse of :func:`pack_yuv420_np` (nearest chroma
+    upsample, matching the host ``yuv420_to_rgb``): packed uint8
+    [N, 3H/2, W] -> float RGB [N, H, W, 3] in [0, 1].  Jittable; fuses
+    into the consuming program."""
+    Hp, W = packed.shape[-2:]
+    H = (Hp * 2) // 3
+    y = packed[:, :H].astype(jnp.float32)
+    u = packed[:, H:, :W // 2].astype(jnp.float32) - 128.0
+    v = packed[:, H:, W // 2:].astype(jnp.float32) - 128.0
+
+    def up(c):
+        return jnp.repeat(jnp.repeat(c, 2, axis=-2), 2, axis=-1)
+
+    uf, vf = up(u), up(v)
+    rgb = jnp.stack([y + 1.402 * vf,
+                     y - 0.344136 * uf - 0.714136 * vf,
+                     y + 1.772 * uf], axis=-1)
+    return jnp.clip(rgb, 0.0, 255.0) * jnp.float32(1.0 / 255.0)
+
+
 def yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
     """Host-side inverse (nearest chroma upsample) -> uint8 RGB [.., H, W, 3].
 

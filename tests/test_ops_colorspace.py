@@ -65,3 +65,30 @@ def test_batched_leading_axes():
     back = yuv420_to_rgb(np.asarray(y), np.asarray(u), np.asarray(v))
     assert back.shape == img.shape
     assert back.dtype == np.uint8
+
+
+def test_pack_unpack_yuv420_roundtrip():
+    """Packed-plane emotion upload (pack_yuv420_np host, unpack_yuv420
+    device): the roundtrip loss equals the yuv420 delivery path's own
+    (quantization + 4:2:0 chroma), and packing agrees with the device
+    rgb_to_yuv420 planes exactly."""
+    from eamm_tpu.ops.colorspace import pack_yuv420_np, unpack_yuv420
+    xx, yy = np.meshgrid(np.linspace(0, 1, 32), np.linspace(0, 1, 32))
+    img = np.stack([0.3 + 0.3 * xx, 0.5 + 0.2 * yy, 0.4 + 0.1 * xx * yy],
+                   axis=-1).astype(np.float32)[None]
+    packed = pack_yuv420_np(img)
+    assert packed.shape == (1, 48, 32) and packed.dtype == np.uint8
+    # plane agreement with the jittable converter
+    y, u, v = rgb_to_yuv420(jnp.asarray(img))
+    np.testing.assert_array_equal(packed[:, :32], np.asarray(y))
+    np.testing.assert_array_equal(packed[:, 32:, :16], np.asarray(u))
+    np.testing.assert_array_equal(packed[:, 32:, 16:], np.asarray(v))
+    back = np.asarray(unpack_yuv420(jnp.asarray(packed)))
+    assert back.shape == img.shape
+    err = np.abs(back - img)
+    assert err.mean() < 4e-3 and err.max() < 1.5e-2
+    # and unpack matches the host-side yuv420_to_rgb up to its uint8
+    # truncation (the device op keeps float precision)
+    host = yuv420_to_rgb(np.asarray(y), np.asarray(u), np.asarray(v))
+    np.testing.assert_allclose(back * 255.0, host.astype(np.float32),
+                               atol=1.0)
