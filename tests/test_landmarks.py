@@ -92,6 +92,30 @@ def _shift_ncc(a, b, max_shift=3):
     return best
 
 
+@pytest.mark.skipif(not os.path.isdir(os.path.join(REF, "image")),
+                    reason="reference test assets not present")
+def test_mouth_mask_covers_mouth_under_fallback():
+    """The MEAD MouthCrop mask is a FIXED rect in the cropped frame
+    (center (135,190), 100x60 — ref:augmentation.py:175-213), so what the
+    emotion branch sees masked depends on where the fallback-landmark crop
+    puts the mouth.  On every author-cropped reference portrait (where the
+    template positions are the ground truth the dlib crop implies), the
+    crop induced by the fallback landmarks must keep the full true mouth
+    inside the mask rect (benchmarks/landmark_fallback_eval.py reports the
+    per-feature error table)."""
+    import imageio.v2 as imageio
+    from benchmarks.landmark_fallback_eval import eval_image
+    tpl = load_template()
+    fracs = {}
+    for name in sorted(os.listdir(os.path.join(REF, "image"))):
+        img = imageio.imread(os.path.join(REF, "image", name))[..., :3]
+        row = eval_image(img, tpl)
+        assert row is not None, f"no face found in {name}"
+        fracs[name] = row["mouth_in_mask_frac"]
+    assert min(fracs.values()) >= 0.9, fracs
+    assert np.mean(list(fracs.values())) > 0.97, fracs
+
+
 @pytest.mark.skipif(not os.path.isdir(os.path.join(REF, "raw_image")),
                     reason="reference test assets not present")
 def test_coarse_crop_matches_author_crops():
