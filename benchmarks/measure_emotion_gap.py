@@ -77,15 +77,23 @@ def main():
     compile_s = time.time() - t0
 
     # isolated upload cost of the emotion frames (the cold path pays this
-    # inside every render call), uint8 production format
+    # inside every render call) in BOTH formats: legacy uint8 RGB and the
+    # round-5 production packed yuv420 planes (half the bytes)
+    from eamm_tpu.ops.colorspace import pack_yuv420_np
     up8 = np.clip(np.rint(emo_frames * 255.0), 0, 255).astype(np.uint8)
-    up_times = []
-    for i in range(5):
-        up8[0, 0, 0, 0] = i          # defeat any upload memoization
-        t0 = time.time()
-        jnp.asarray(up8).block_until_ready()
-        up_times.append(time.time() - t0)
-    upload_ms = 1e3 * min(up_times)
+    packed = pack_yuv420_np(emo_frames)
+
+    def upload_best(buf):
+        times = []
+        for i in range(5):
+            buf.reshape(-1)[0] = i   # defeat any upload memoization
+            t0 = time.time()
+            jnp.asarray(buf).block_until_ready()
+            times.append(time.time() - t0)
+        return 1e3 * min(times)
+
+    upload_ms = upload_best(up8)
+    upload_packed_ms = upload_best(packed)
 
     rounds = {"neutral": [], "emotional_cold": [], "emotional_handle": []}
     for _ in range(trials):
@@ -119,6 +127,8 @@ def main():
     out["handle_vs_neutral_median"] = round(sorted(ratios_h)[len(ratios_h) // 2], 3)
     out["emo_upload_ms_uint8"] = round(upload_ms, 1)
     out["emo_upload_mb"] = round(up8.nbytes / 1e6, 2)
+    out["emo_upload_ms_yuv420_packed"] = round(upload_packed_ms, 1)
+    out["emo_upload_packed_mb"] = round(packed.nbytes / 1e6, 2)
     out["frames"] = int(T)
     out["trials"] = trials
     out["compile_s"] = round(compile_s, 1)
