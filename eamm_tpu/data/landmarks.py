@@ -108,6 +108,34 @@ def _eye_line(gray: np.ndarray, mask: np.ndarray, cy: float, sy: float):
     return top + int(np.argmin(smooth))
 
 
+def _mouth_line(gray: np.ndarray, mask: np.ndarray, eye_row: int,
+                sy: float):
+    """Row of the darkest wide band BELOW the eye line — the lip shadow.
+    Searched in the eye-anchored window where the mouth must sit for any
+    plausible face proportion; returns None when degenerate (the caller
+    then keeps the isotropic template scale)."""
+    h = gray.shape[0]
+    top = int(min(h - 1, eye_row + 0.45 * sy))
+    bot = int(min(h, eye_row + 1.25 * sy))
+    if bot - top < 4:
+        return None
+    rows = []
+    for y in range(top, bot):
+        sel = mask[y]
+        if sel.sum() < 3:
+            rows.append(np.inf)
+            continue
+        vals = np.sort(gray[y][sel])
+        k = max(1, len(vals) // 4)
+        rows.append(vals[:k].mean())
+    rows = np.asarray(rows)
+    if not np.isfinite(rows).any():
+        return None
+    pad = np.pad(rows, 1, mode="edge")
+    smooth = np.convolve(pad, np.ones(3) / 3.0, mode="valid")
+    return top + int(np.argmin(smooth))
+
+
 def estimate_landmarks_coarse(image_uint8: np.ndarray,
                               template: np.ndarray) -> np.ndarray | None:
     """Place the 68-point template over the detected face.
@@ -143,14 +171,36 @@ def estimate_landmarks_coarse(image_uint8: np.ndarray,
     gray = small[..., :3] @ np.asarray([0.299, 0.587, 0.114])
     eye_row = _eye_line(gray, blob, cy, sy)
 
+    # per-face VERTICAL scale from a second anchor: the lip-shadow dark
+    # band below the eyes.  The isotropic width-based scale mislocates the
+    # mouth on long/short faces (the template's eye-to-mouth distance is
+    # M003's, measured up to ~37 px off on the reference portraits);
+    # anchoring both lines fits that distance per face.  Sanity-clamped to
+    # [0.9, 1.35]x the width scale: a LOW implied ratio is the nose-shadow
+    # failure mode (a dark band above the true mouth — measured 0.82 on
+    # the one reference portrait it fooled), a high one is beard/chin
+    # shadow; outside the window the isotropic scale is kept.
+    scale_y = scale
+    mouth_row = None
+    if eye_row is not None:
+        mouth_row = _mouth_line(gray, blob, eye_row, sy)
+        if mouth_row is not None:
+            t_eye_y = template[36:48, 1].mean()
+            t_mouth_y = template[48:68, 1].mean()
+            implied = (mouth_row - eye_row) / max(1e-6,
+                                                  (t_mouth_y - t_eye_y))
+            if 0.9 * scale <= implied <= 1.35 * scale:
+                scale_y = float(implied)
+
     cos, sin = np.cos(tilt), np.sin(tilt)
     R = np.asarray([[cos, -sin], [sin, cos]])
-    pts = (template - tc) * scale @ R.T
+    pts = (template - tc) * np.asarray([scale, scale_y]) @ R.T
     center = np.asarray([cx, cy], np.float64)
     if eye_row is not None:
         # pin the template's eye line (points 36-47 = eyes) to the detected
         # dark band instead of trusting the blob centroid vertically
-        eye_y = ((template[36:48].mean(0) - tc) * scale @ R.T)[1]
+        eye_y = ((template[36:48].mean(0) - tc)
+                 * np.asarray([scale, scale_y]) @ R.T)[1]
         center[1] = eye_row - eye_y
     pts = pts + center
     return pts * step
